@@ -55,7 +55,10 @@ class Circuit:
         if isinstance(qubits, (int, np.integer)):
             qubits = (int(qubits),)
         qubits = tuple(int(q) for q in qubits)
-        params = tuple(float(p) for p in params)
+        # keep symbolic parameters (Parameter / ParameterExpression) as-is
+        params = tuple(p if not isinstance(p, (int, float, np.floating,
+                                               np.integer)) else float(p)
+                       for p in params)
         nq = GATE_NUM_QUBITS.get(name, 1)
         if name not in ("barrier", "measure") and len(qubits) != nq:
             raise ValueError(f"{name} expects {nq} qubits, got {qubits}")

@@ -1,0 +1,83 @@
+"""Shot sampling: probability vectors → counts / sampled expectation values.
+
+Replaces the counts side of the reference data pipelines
+(``execute → get_counts`` in ``h13``-style notebooks; ``cal_z_exp`` /
+``cal_all_z_exp`` consume counts, ``mbd_utils.py:328-411``). Sampling is a
+batched categorical draw on device; counts dicts are only materialized at the
+Python boundary for reference-format parity.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .unitaries import popcount
+
+
+@partial(jax.jit, static_argnames=("shots",))
+def sample_outcomes(key: jax.Array, probs: jnp.ndarray, shots: int
+                    ) -> jnp.ndarray:
+    """Draw basis-state outcomes: probs[..., D] → int32[..., shots]."""
+    logits = jnp.log(jnp.clip(probs, 1e-30, 1.0))
+    return jax.random.categorical(key, logits[..., None, :], axis=-1,
+                                  shape=probs.shape[:-1] + (shots,))
+
+
+@partial(jax.jit, static_argnames=("shots", "dim"))
+def sample_histogram(key: jax.Array, probs: jnp.ndarray, shots: int,
+                     dim: int) -> jnp.ndarray:
+    """Sampled histogram (counts vector): probs[..., D] → int32[..., D]."""
+    outcomes = sample_outcomes(key, probs, shots)
+    one_hot = jax.nn.one_hot(outcomes, dim, dtype=jnp.int32)
+    return jnp.sum(one_hot, axis=-2)
+
+
+def sampled_z_expectations(key: jax.Array, probs: jnp.ndarray, shots: int,
+                           num_qubits: int) -> jnp.ndarray:
+    """Per-qubit ⟨Z_q⟩ estimated from `shots` samples: [..., nq]."""
+    outcomes = sample_outcomes(key, probs, shots)
+    outs = []
+    for q in range(num_qubits):
+        bit = (outcomes >> q) & 1
+        outs.append(1.0 - 2.0 * jnp.mean(bit.astype(jnp.float32), axis=-1))
+    return jnp.stack(outs, axis=-1)
+
+
+def sampled_parity_expectation(key: jax.Array, probs: jnp.ndarray,
+                               shots: int, z_mask: int) -> jnp.ndarray:
+    """Sampled ⟨Π Z⟩ over the z_mask support."""
+    outcomes = sample_outcomes(key, probs, shots)
+    par = popcount(outcomes & jnp.int32(z_mask)) & 1
+    return 1.0 - 2.0 * jnp.mean(par.astype(jnp.float32), axis=-1)
+
+
+def expectation_from_probs(probs: jnp.ndarray, z_mask: int) -> jnp.ndarray:
+    """Exact ⟨Π Z⟩ over z_mask from a probability vector."""
+    dim = probs.shape[-1]
+    j = jnp.arange(dim, dtype=jnp.int32)
+    sign = 1 - 2 * (popcount(j & jnp.int32(z_mask)) & 1)
+    return jnp.sum(probs * sign, axis=-1)
+
+
+def histogram_to_counts(hist: np.ndarray, num_qubits: int) -> Dict[str, int]:
+    """Counts-dict view (qiskit bitstring format: leftmost = highest qubit)."""
+    out = {}
+    for j, c in enumerate(np.asarray(hist)):
+        if c > 0:
+            out[format(j, f"0{num_qubits}b")] = int(c)
+    return out
+
+
+def counts_to_probs(counts: Dict[str, int], num_qubits: int) -> np.ndarray:
+    """Counts dict → probability vector (reference
+    ``counts_to_feature_vector`` parity, ``data/utils.py:178-195``)."""
+    dim = 2 ** num_qubits
+    vec = np.zeros(dim, dtype=np.float64)
+    shots = sum(counts.values())
+    for bits, c in counts.items():
+        vec[int(bits, 2)] = c / shots
+    return vec

@@ -1,0 +1,181 @@
+"""Noise channels + density-matrix engine correctness."""
+import numpy as np
+import pytest
+
+from mlqem_tpu.circuits.circuit import Circuit, stack_circuits, tensorize
+from mlqem_tpu.circuits.observables import PauliSum
+from mlqem_tpu.device.model import DeviceModel
+from mlqem_tpu.device.noise import (NoiseModel, add_coherent_cx_noise,
+                                    compile_noise_table, readout_matrices)
+from mlqem_tpu.device.registry import get_device
+from mlqem_tpu.ops.channels import (Channel, coherent_overrotation_cx,
+                                    depol_param_for_target_error,
+                                    depolarizing_channel, identity_channel,
+                                    pauli_channel, readout_confusion,
+                                    thermal_relaxation_channel)
+from mlqem_tpu.ops.density import (apply_readout_confusion,
+                                   batch_density_matrices, dm_probabilities,
+                                   expval_pauli_sum_dm, purity, run_density)
+from mlqem_tpu.ops.statevector import statevector
+
+
+def _noiseless_table(ct):
+    return compile_noise_table(ct, None)
+
+
+def test_channels_trace_preserving():
+    chans = [
+        depolarizing_channel(0.1, 1),
+        depolarizing_channel(0.2, 2),
+        thermal_relaxation_channel(1e-4, 1.2e-4, 1e-6),
+        pauli_channel([("X", 0.1), ("I", 0.9)]),
+        coherent_overrotation_cx(0.3),
+        identity_channel(2),
+    ]
+    for ch in chans:
+        assert ch.is_trace_preserving(), ch
+
+
+def test_coherent_overrotation_identity_at_zero():
+    ch = coherent_overrotation_cx(0.0)
+    u = ch.kraus[0]
+    phase = u[0, 0]
+    np.testing.assert_allclose(u / phase, np.eye(4), atol=1e-12)
+
+
+def test_density_matches_statevector_noiseless(rng):
+    qc = Circuit(3)
+    for _ in range(15):
+        qc.ry(float(rng.uniform(-3, 3)), int(rng.integers(3)))
+        qc.cx(int(rng.integers(3)), int((rng.integers(2) + 1 +
+                                         rng.integers(1)) % 3 or 1))
+    qc2 = Circuit(3).h(0).cx(0, 1).t(1).cx(1, 2).rz(0.7, 2)
+    for circ in (qc2,):
+        ct = tensorize(circ)
+        keys, table = _noiseless_table(ct)
+        dm = np.asarray(run_density(ct, keys, table))
+        psi = np.asarray(statevector(ct))
+        np.testing.assert_allclose(dm, np.outer(psi, np.conj(psi)), atol=1e-5)
+
+
+def test_depolarizing_shrinks_bloch_vector():
+    p = 0.3
+    nm = NoiseModel(1).add_all_qubit_quantum_error(
+        depolarizing_channel(p, 1), "x")
+    qc = Circuit(1).x(0)
+    ct = tensorize(qc)
+    keys, table = compile_noise_table(ct, nm)
+    dm = run_density(ct, keys, table)
+    z = float(expval_pauli_sum_dm(dm, PauliSum("IZ")))  # qubit0 = rightmost char
+    # 1q depolarizing(p): Bloch vector scales by (1-p) → ⟨Z⟩ = -(1-p)
+    assert abs(z - (-(1 - p))) < 1e-6
+
+
+def test_thermal_relaxation_t1_decay():
+    t1, t2, time = 1e-4, 1.3e-4, 2.5e-5
+    nm = NoiseModel(1).add_all_qubit_quantum_error(
+        thermal_relaxation_channel(t1, t2, time), "x")
+    qc = Circuit(1).x(0)
+    ct = tensorize(qc)
+    keys, table = compile_noise_table(ct, nm)
+    dm = run_density(ct, keys, table)
+    z = float(expval_pauli_sum_dm(dm, PauliSum("IZ")))
+    # |1⟩ decays: P(1) = e^{-t/T1} → ⟨Z⟩ = 1 - 2e^{-t/T1}
+    expected = 1 - 2 * np.exp(-time / t1)
+    assert abs(z - expected) < 1e-6
+
+
+def test_thermal_relaxation_t2_decay():
+    t1, t2, time = 1e-4, 1.3e-4, 2.5e-5
+    nm = NoiseModel(1).add_all_qubit_quantum_error(
+        thermal_relaxation_channel(t1, t2, time), "h")
+    qc = Circuit(1).h(0)
+    ct = tensorize(qc)
+    keys, table = compile_noise_table(ct, nm)
+    dm = run_density(ct, keys, table)
+    x = float(expval_pauli_sum_dm(dm, PauliSum("IX")))
+    assert abs(x - np.exp(-time / t2)) < 1e-6
+
+
+def test_depol_param_solver():
+    # with no relaxation, p should reproduce the avg-error relation exactly
+    for nq, err in [(1, 0.001), (2, 0.008)]:
+        p = depol_param_for_target_error(err, None, nq)
+        ch = depolarizing_channel(p, nq)
+        assert abs((1 - ch.average_gate_fidelity()) - err) < 1e-9
+
+
+def test_from_device_hits_calibrated_error():
+    dev = get_device("fake_lima")
+    nm = NoiseModel.from_device(dev)
+    ch = nm.channel_for("cx", (0, 1))
+    got_err = 1 - ch.average_gate_fidelity()
+    want = dev.gate_error("cx", (0, 1))
+    assert abs(got_err - want) < 1e-4
+
+
+def test_readout_confusion_application():
+    p = 0.1
+    conf = np.stack([readout_confusion(p), np.eye(2)])
+    qc = Circuit(2).x(0)
+    ct = tensorize(qc)
+    keys, table = _noiseless_table(ct)
+    dm = run_density(ct, keys, table)
+    probs = dm_probabilities(dm)
+    probs = apply_readout_confusion(probs, conf, 2)
+    probs = np.asarray(probs)
+    # state |01⟩ (qubit0=1): readout flips qubit0 with prob p
+    assert abs(probs[0b01] - (1 - p)) < 1e-6
+    assert abs(probs[0b00] - p) < 1e-6
+
+
+def test_coherent_cx_noise_model():
+    dev = get_device("fake_lima")
+    nm = add_coherent_cx_noise(dev, theta=0.1 * np.pi, uniform=True,
+                               add_depolarization=True, add_coherent=True)
+    qc = Circuit(2).h(0).cx(0, 1)
+    ct = tensorize(qc)
+    keys, table = compile_noise_table(ct, nm)
+    dm = run_density(ct, keys, table)
+    zz = float(expval_pauli_sum_dm(dm, PauliSum("ZZ")))
+    # noiseless Bell: ⟨ZZ⟩ = 1; coherent overrotation + depol must reduce it
+    assert 0.5 < zz < 1.0
+    # and the purity drops below 1 (incoherent part present)
+    assert float(purity(dm)) < 1.0
+
+
+def test_batched_density(rng):
+    dev = get_device("fake_lima")
+    nm = NoiseModel.from_device(dev)
+    circs = []
+    for k in range(4):
+        qc = Circuit(3)
+        qc.rx(0.3 * (k + 1), 0).cx(0, 1).cx(1, 2)
+        circs.append(qc)
+    ct = stack_circuits(circs)
+    keys, table = compile_noise_table(ct, nm)
+    dms = np.asarray(batch_density_matrices(ct, keys, table))
+    for i, qc in enumerate(circs):
+        cti = tensorize(qc, ct.max_ops)
+        ki, ti = compile_noise_table(cti, nm)
+        single = np.asarray(run_density(cti, ki, ti))
+        np.testing.assert_allclose(dms[i], single, atol=1e-6)
+
+
+def test_device_registry_and_properties():
+    for name in ["fake_lima", "fake_montreal", "fake_belem",
+                 "fake_sherbrooke"]:
+        dev = get_device(name)
+        props = dev.properties()
+        assert props["num_qubits"] == dev.num_qubits
+        assert set(props.keys()) == {"name", "gates_set", "num_qubits",
+                                     "qubits_props", "gate_props"}
+        q0 = props["qubits_props"][0]
+        assert q0["t1"] > 0 and q0["t2"] > 0
+    lima = get_device("fake_lima")
+    assert lima.num_qubits == 5
+    # real calibration snapshot values survive the round trip
+    assert abs(lima.t1(0) - 9.922062340725514e-05) < 1e-12
+    sher = get_device("fake_sherbrooke")
+    assert sher.num_qubits == 127
+    assert "ecr" in sher.basis_gates
