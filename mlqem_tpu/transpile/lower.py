@@ -246,8 +246,8 @@ def _bfs_path(coupling: Sequence[Tuple[int, int]], n: int,
               src: int, dst: int) -> List[int]:
     adj: Dict[int, List[int]] = {i: [] for i in range(n)}
     for u, v in coupling:
-        adj[u].append(v)
-        adj[v].append(u)
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
     prev = {src: src}
     frontier = [src]
     while frontier and dst not in prev:
