@@ -1,0 +1,245 @@
+"""Graph neural networks for circuit graphs (flax, dense-adjacency).
+
+Rebuilds the reference's PyG models (``docs/tutorials/gnn.py:70-276``) —
+TransformerConv → ASAPooling → TransformerConv → ASAPooling →
+global_mean_pool → concat(graph, noisy expvals, depth) → head — as masked
+dense ops: attention and pooling are [B, N, N] matmuls, which map onto the
+MXU instead of PyG's sparse scatter kernels. Node padding is handled with
+masks throughout.
+
+Model variants and their capacities match the reference:
+``ExpValCircuitGraphModel`` (heads 3/2, linear head),
+``_2`` (MLP2 head), ``_3`` (heads 5/3, MLP3 head — **the paper's GNN**),
+``_4`` (inferior variant kept for parity).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mlp import MLP2, MLP3
+
+_NEG = -1e9
+
+
+def edge_index_to_adj(edge_index: jnp.ndarray, edge_mask: jnp.ndarray,
+                      num_nodes: int) -> jnp.ndarray:
+    """[B, 2, E] (+mask) → dense adjacency [B, N, N] with adj[b, dst, src]."""
+    src = edge_index[:, 0, :]
+    dst = edge_index[:, 1, :]
+    B, E = src.shape
+    adj = jnp.zeros((B, num_nodes, num_nodes), jnp.float32)
+    b_idx = jnp.repeat(jnp.arange(B)[:, None], E, axis=1)
+    vals = edge_mask.astype(jnp.float32)
+    return adj.at[b_idx, dst, src].max(vals)
+
+
+class TransformerConvDense(nn.Module):
+    """Dense-masked equivalent of PyG ``TransformerConv`` (concat heads).
+
+    out_i = W_root x_i + Σ_j α_ij W_v x_j over incoming edges j→i,
+    α = softmax_j(⟨W_q x_i, W_k x_j⟩/√d); output dim = heads·channels.
+    """
+
+    channels: int
+    heads: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask, train: bool = False):
+        B, N, _ = x.shape
+        H, C = self.heads, self.channels
+        q = nn.Dense(H * C, name="q")(x).reshape(B, N, H, C)
+        k = nn.Dense(H * C, name="k")(x).reshape(B, N, H, C)
+        v = nn.Dense(H * C, name="v")(x).reshape(B, N, H, C)
+        logits = jnp.einsum("bihc,bjhc->bhij", q, k) / np.sqrt(C)
+        mask = adj[:, None, :, :] > 0           # [B, 1, N(dst), N(src)]
+        mask = mask & node_mask[:, None, None, :]
+        logits = jnp.where(mask, logits, _NEG)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(mask.any(-1, keepdims=True), attn, 0.0)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        agg = jnp.einsum("bhij,bjhc->bihc", attn, v).reshape(B, N, H * C)
+        root = nn.Dense(H * C, name="root")(x)
+        out = root + agg
+        return out * node_mask[..., None]
+
+
+class LEConvDense(nn.Module):
+    """Dense LEConv (ASAP's fitness scorer):
+    out_i = W1 x_i + Σ_j A_ij (W2 x_i − W3 x_j)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        w1 = nn.Dense(self.channels, name="w1")(x)
+        w2 = nn.Dense(self.channels, name="w2")(x)
+        w3 = nn.Dense(self.channels, name="w3")(x)
+        deg = adj.sum(-1, keepdims=True)
+        out = w1 + deg * w2 - jnp.einsum("bij,bjc->bic", adj, w3)
+        return out * node_mask[..., None]
+
+
+class ASAPoolingDense(nn.Module):
+    """Dense ASAPooling: LEConv fitness → top-⌈ratio·N⌉ cluster selection →
+    attention-weighted cluster features → coarsened adjacency S^T A S.
+
+    Keeps the padded node count N static (TPU-friendly): pooling updates the
+    node_mask instead of shrinking arrays, and re-sorts selected clusters to
+    the front.
+    """
+
+    channels: int
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask, train: bool = False):
+        B, N, C = x.shape
+        # ego-network attention: cluster i's representation attends over its
+        # neighbors ∪ self
+        adj_self = jnp.clip(
+            adj + jnp.eye(N, dtype=adj.dtype)[None], 0.0, 1.0)
+        m_q = nn.Dense(self.channels, name="att_q")(x)
+        m_k = nn.Dense(self.channels, name="att_k")(x)
+        logits = jnp.einsum("bic,bjc->bij", m_q, m_k) / np.sqrt(self.channels)
+        mask = (adj_self > 0) & node_mask[:, None, :]
+        logits = jnp.where(mask, logits, _NEG)
+        S = jax.nn.softmax(logits, axis=-1)
+        S = jnp.where(mask.any(-1, keepdims=True), S, 0.0)   # [B, i, j]
+        cluster_x = jnp.einsum("bij,bjc->bic", S, x)
+
+        # fitness scores via LEConv, masked top-k selection
+        fitness = LEConvDense(1, name="fitness")(
+            cluster_x, adj, node_mask)[..., 0]
+        fitness = jnp.tanh(fitness)
+        scores = jnp.where(node_mask, fitness, _NEG)
+        n_valid = node_mask.sum(-1)                           # [B]
+        keep_counts = jnp.ceil(self.ratio * n_valid).astype(jnp.int32)
+        order = jnp.argsort(-scores, axis=-1)                 # best first
+        rank = jnp.argsort(order, axis=-1)
+        keep = (rank < keep_counts[:, None]) & node_mask
+
+        # gather kept clusters to the front (static shapes)
+        perm = order                                           # [B, N]
+        x_perm = jnp.take_along_axis(cluster_x * fitness[..., None],
+                                     perm[..., None], axis=1)
+        keep_perm = jnp.take_along_axis(keep, perm, axis=1)
+        adj_perm = jnp.take_along_axis(
+            jnp.take_along_axis(adj_self, perm[:, :, None], axis=1),
+            perm[:, None, :], axis=2)
+        # coarsened connectivity: clusters are adjacent if any member pair is
+        adj2 = jnp.clip(adj_perm @ adj_perm, 0.0, 1.0)
+        adj2 = adj2 * keep_perm[:, :, None] * keep_perm[:, None, :]
+        x_out = x_perm * keep_perm[..., None]
+        return x_out, adj2, keep_perm
+
+
+def global_mean_pool(x, node_mask):
+    s = (x * node_mask[..., None]).sum(axis=1)
+    d = jnp.maximum(node_mask.sum(axis=1, keepdims=True), 1.0)
+    return s / d
+
+
+class _GraphBackbone(nn.Module):
+    hidden_channels: int
+    heads1: int
+    heads2: int
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask, train: bool = False):
+        h = TransformerConvDense(self.hidden_channels, self.heads1,
+                                 dropout=0.1, name="transformer1")(
+            x, adj, node_mask, train)
+        h, adj, node_mask = ASAPoolingDense(
+            self.hidden_channels * self.heads1, 0.5, name="pooling1")(
+            h, adj, node_mask, train)
+        h = TransformerConvDense(self.hidden_channels, self.heads2,
+                                 dropout=0.1, name="transformer2")(
+            h, adj, node_mask, train)
+        h, adj, node_mask = ASAPoolingDense(
+            self.hidden_channels * self.heads2, 0.5, name="pooling2")(
+            h, adj, node_mask, train)
+        return global_mean_pool(h, node_mask.astype(jnp.float32))
+
+
+class ExpValCircuitGraphModel(nn.Module):
+    """v1: heads 3/2, Linear+Dropout+Linear head (``gnn.py:70-122``)."""
+
+    hidden_channels: int
+    exp_value_size: int = 4
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, exp_value, observable, circuit_depth, x, adj,
+                 node_mask, train: bool = False):
+        graph = _GraphBackbone(self.hidden_channels, 3, 2,
+                               name="backbone")(x, adj, node_mask, train)
+        merge = jnp.concatenate(
+            [graph, exp_value.reshape(x.shape[0], -1),
+             circuit_depth.reshape(x.shape[0], 1)], axis=1)
+        h = nn.Dense(self.hidden_channels)(merge)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.Dense(self.exp_value_size)(h)
+
+
+class ExpValCircuitGraphModel2(nn.Module):
+    """v2: MLP2 head (``gnn.py:126-173``)."""
+
+    hidden_channels: int
+    exp_value_size: int = 4
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, exp_value, observable, circuit_depth, x, adj,
+                 node_mask, train: bool = False):
+        graph = _GraphBackbone(self.hidden_channels, 3, 2,
+                               name="backbone")(x, adj, node_mask, train)
+        merge = jnp.concatenate(
+            [graph, exp_value.reshape(x.shape[0], -1),
+             circuit_depth.reshape(x.shape[0], 1)], axis=1)
+        return MLP2(self.hidden_channels, self.exp_value_size,
+                    self.dropout)(merge, train)
+
+
+class ExpValCircuitGraphModel3(nn.Module):
+    """v3 — the paper's GNN: heads 5/3, MLP3 head with 5× hidden
+    (``gnn.py:178-224``)."""
+
+    hidden_channels: int
+    exp_value_size: int = 4
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, exp_value, observable, circuit_depth, x, adj,
+                 node_mask, train: bool = False):
+        graph = _GraphBackbone(self.hidden_channels, 5, 3,
+                               name="backbone")(x, adj, node_mask, train)
+        merge = jnp.concatenate(
+            [graph, exp_value.reshape(x.shape[0], -1),
+             circuit_depth.reshape(x.shape[0], 1)], axis=1)
+        return MLP3(self.hidden_channels * 5, self.exp_value_size,
+                    self.dropout)(merge, train)
+
+
+class ExpValCircuitGraphModel4(nn.Module):
+    """v4: like v3 but MLP3 hidden = hidden_channels (``gnn.py:229-276``)."""
+
+    hidden_channels: int
+    exp_value_size: int = 4
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, exp_value, observable, circuit_depth, x, adj,
+                 node_mask, train: bool = False):
+        graph = _GraphBackbone(self.hidden_channels, 5, 3,
+                               name="backbone")(x, adj, node_mask, train)
+        merge = jnp.concatenate(
+            [graph, exp_value.reshape(x.shape[0], -1),
+             circuit_depth.reshape(x.shape[0], 1)], axis=1)
+        return MLP3(self.hidden_channels, self.exp_value_size,
+                    self.dropout)(merge, train)

@@ -1,0 +1,165 @@
+"""Model zoo: MLPs, linear, random forest, GNN + training loops."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlqem_tpu.models.forest import RandomForestRegressor
+from mlqem_tpu.models.gnn import (ExpValCircuitGraphModel,
+                                  ExpValCircuitGraphModel3,
+                                  TransformerConvDense, edge_index_to_adj)
+from mlqem_tpu.models.linear import LinearRegression
+from mlqem_tpu.models.mlp import MLP1, MLP2, MLP3
+from mlqem_tpu.models.train import (PlateauScheduler, load_checkpoint,
+                                    predict, save_checkpoint, train_gnn,
+                                    train_mlp, gnn_inputs, mlp_inputs)
+
+
+def test_linear_regression_exact():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(50, 3))
+    w = np.array([1.5, -2.0, 0.5])
+    y = X @ w + 0.7
+    lr = LinearRegression().fit(X, y)
+    np.testing.assert_allclose(lr.coef_, w, atol=1e-8)
+    assert abs(lr.intercept_ - 0.7) < 1e-8
+    np.testing.assert_allclose(lr.predict(X), y, atol=1e-5)
+
+
+def test_linear_regression_multioutput():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(40, 4))
+    W = rng.normal(size=(2, 4))
+    y = X @ W.T
+    lr = LinearRegression().fit(X, y)
+    np.testing.assert_allclose(lr.predict(X), y, atol=1e-5)
+
+
+def test_random_forest_fits_noise_free():
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-1, 1, size=(300, 5)).astype(np.float32)
+    y = np.sign(X[:, 0]) * 0.5 + (X[:, 1] > 0.3) * 0.25
+    rf = RandomForestRegressor(n_estimators=20, random_state=0)
+    rf.fit(X, y)
+    pred = rf.predict(X)
+    rmse = np.sqrt(np.mean((pred - y) ** 2))
+    assert rmse < 0.05  # trees to purity → near-interpolation on train
+
+
+def test_random_forest_generalizes():
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    y = X[:, 0] * 0.8 - 0.2 * X[:, 1]
+    rf = RandomForestRegressor(n_estimators=30, random_state=1)
+    rf.fit(X[:400], y[:400])
+    pred = rf.predict(X[400:])
+    rmse = np.sqrt(np.mean((pred - y[400:]) ** 2))
+    assert rmse < 0.12
+
+
+def test_random_forest_multioutput():
+    rng = np.random.default_rng(4)
+    X = rng.uniform(-1, 1, size=(200, 4)).astype(np.float32)
+    y = np.stack([X[:, 0], -X[:, 1]], axis=1)
+    rf = RandomForestRegressor(n_estimators=10, random_state=2)
+    rf.fit(X, y)
+    assert rf.predict(X).shape == (200, 2)
+
+
+def test_mlp_shapes():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((8, 58))
+    for cls, kwargs in [(MLP1, {}), (MLP2, {}), (MLP3, {})]:
+        model = cls(hidden_size=64, output_size=4, **kwargs)
+        variables = model.init({"params": key, "dropout": key}, x,
+                               train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (8, 4)
+
+
+def test_train_mlp_learns_identity_mitigation():
+    """MLP learns noisy→ideal scaling y = x/0.8 on synthetic data."""
+    rng = np.random.default_rng(5)
+    ideal = rng.uniform(-1, 1, size=(400, 1)).astype(np.float32)
+    noisy = ideal * 0.8 + rng.normal(0, 0.01, size=ideal.shape)
+    model = MLP1(hidden_size=32, output_size=1)
+    variables, hist = train_mlp(model, noisy.astype(np.float32), ideal,
+                                num_epochs=150, batch_size=64,
+                                learning_rate=3e-3, seed=0)
+    preds = predict(model, variables, mlp_inputs,
+                    {"X": noisy.astype(np.float32)})
+    rmse = float(np.sqrt(np.mean((preds - ideal) ** 2)))
+    raw = float(np.sqrt(np.mean((noisy - ideal) ** 2)))
+    assert rmse < raw * 0.3, (rmse, raw)
+    assert hist["val_loss"][-1] < hist["val_loss"][0]
+
+
+def test_transformer_conv_masking():
+    key = jax.random.PRNGKey(0)
+    B, N, F = 2, 6, 5
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, F)),
+                    jnp.float32)
+    adj = jnp.zeros((B, N, N)).at[:, 1, 0].set(1.0).at[:, 2, 1].set(1.0)
+    mask = jnp.ones((B, N), bool).at[:, 4:].set(False)
+    conv = TransformerConvDense(channels=3, heads=2)
+    variables = conv.init({"params": key}, x, adj, mask)
+    out = conv.apply(variables, x, adj, mask)
+    assert out.shape == (B, N, 6)
+    # masked-out nodes produce zeros
+    np.testing.assert_allclose(np.asarray(out[:, 4:]), 0.0, atol=1e-6)
+
+
+def _toy_graph_data(B=20, N=8, F=22, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, N, F)).astype(np.float32)
+    edges = np.zeros((B, 2, N), np.int32)
+    for b in range(B):
+        for i in range(N - 1):
+            edges[b, 0, i] = i
+            edges[b, 1, i] = i + 1
+    data = {
+        "x": x,
+        "edge_index": edges,
+        "edge_mask": np.ones((B, N), bool),
+        "node_mask": np.ones((B, N), bool),
+        "noisy": rng.uniform(-1, 1, size=(B, K)).astype(np.float32),
+        "observable": rng.normal(size=(B, 1, 17)).astype(np.float32),
+        "circuit_depth": rng.uniform(1, 5, size=(B,)).astype(np.float32),
+    }
+    y = data["noisy"] * 1.2
+    return data, y
+
+
+def test_gnn_forward_and_training():
+    data, y = _toy_graph_data()
+    model = ExpValCircuitGraphModel3(hidden_channels=15, exp_value_size=4)
+    variables, hist = train_gnn(model, {**data, "y": y}, num_epochs=8,
+                                batch_size=10, learning_rate=1e-3, seed=0)
+    preds = predict(model, variables, gnn_inputs, data)
+    assert preds.shape == (20, 4)
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = MLP1(hidden_size=8, output_size=1)
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 5))
+    variables = model.init({"params": key}, x, train=False)
+    p = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(p, variables, {"note": "test"})
+    loaded, extra = load_checkpoint(p, variables)
+    assert extra["note"] == "test"
+    out1 = model.apply(variables, x, train=False)
+    out2 = model.apply(loaded, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_plateau_scheduler():
+    sch = PlateauScheduler(factor=0.5, patience=1)
+    lr = 1.0
+    lr = sch.step(1.0, lr)   # best
+    lr = sch.step(1.1, lr)   # bad 1
+    assert lr == 1.0
+    lr = sch.step(1.2, lr)   # bad 2 > patience → reduce
+    assert lr == 0.5
