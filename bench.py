@@ -1,0 +1,99 @@
+"""Benchmark: noisy 10Q training-pair generation throughput.
+
+The BASELINE.json headline: >=100k noisy 10Q training pairs/min on v5e-8
+(12.5k/min/chip). One training pair = one circuit's labeled record — exact
+ideal per-qubit <Z> (statevector) + noisy per-qubit <Z> under the full
+Aer-style fake_lima-class noise model (density matrix + readout confusion +
+10k sampled shots), matching the reference's h13-style dataset rows.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr. Runs on whatever jax.devices() provides (the
+driver gives one real TPU chip); vs_baseline is normalized per chip.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nq", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=4,
+                    help="Trotter steps per circuit (~40 ops/step at 10q)")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--shots", type=int, default=10000)
+    ap.add_argument("--method", default="trajectory",
+                    choices=["trajectory", "density_matrix"],
+                    help="noisy engine: Pauli-twirled trajectories (the "
+                         "BASELINE north-star path) or exact density matrix")
+    ap.add_argument("--n-traj", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=20.0,
+                    help="steady-state measurement window")
+    args = ap.parse_args()
+
+    import jax
+
+    from mlqem_tpu.device.registry import get_device
+    from mlqem_tpu.parallel.datagen import IsingLabelPipeline
+    from mlqem_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    print(f"devices: {devices}", file=sys.stderr)
+
+    # fake_lima-class calibration magnitudes on a 10q line device
+    from mlqem_tpu.device.registry import configurable_device
+
+    dev = configurable_device(args.nq, seed=0)
+    pipe = IsingLabelPipeline(dev, nq=args.nq, steps=args.steps,
+                              shots=args.shots, dt=0.25,
+                              method=args.method, n_traj=args.n_traj)
+    mesh = make_mesh() if n_chips > 1 else None
+
+    rng = np.random.default_rng(0)
+
+    def run(seed):
+        J = rng.uniform(0.05, 0.6, size=args.batch).astype(np.float32)
+        return pipe.generate(J, seed=seed, mesh=mesh)
+
+    t0 = time.time()
+    ideal, noisy = run(0)
+    compile_s = time.time() - t0
+    print(f"compile+first batch: {compile_s:.1f}s; "
+          f"sample ideal[0][:4]={np.round(ideal[0][:4], 3)} "
+          f"noisy[0][:4]={np.round(noisy[0][:4], 3)}", file=sys.stderr)
+
+    # steady state
+    n_done = 0
+    t0 = time.time()
+    seed = 1
+    while time.time() - t0 < args.seconds:
+        ideal, noisy = run(seed)
+        n_done += args.batch
+        seed += 1
+    elapsed = time.time() - t0
+    pairs_per_min = n_done / elapsed * 60.0
+    per_chip = pairs_per_min / n_chips
+    target_per_chip = 100_000 / 8  # BASELINE: 100k/min on 8 chips
+    print(f"{n_done} pairs in {elapsed:.1f}s on {n_chips} chip(s) "
+          f"→ {pairs_per_min:,.0f}/min ({per_chip:,.0f}/min/chip)",
+          file=sys.stderr)
+
+    desc = ("Pauli-twirled trajectory noise" if args.method == "trajectory"
+            else "exact dm noise")
+    print(json.dumps({
+        "metric": f"noisy {args.nq}Q training pairs/min "
+                  f"({desc} + readout + {args.shots} shots, per chip)",
+        "value": round(per_chip, 1),
+        "unit": "pairs/min/chip",
+        "vs_baseline": round(per_chip / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,18 @@ class CircuitTemplate:
     def num_parameters(self) -> int:
         return len(self.parameters)
 
+    def bind_host(self, values: np.ndarray) -> CircuitTensor:
+        """Host-side (numpy) binding — for init-time inspection paths where
+        eager device dispatch would be wasteful (e.g. noise-table builds)."""
+        values = np.asarray(values, np.float32)
+        base = np.array(self.ct.params, np.float32)
+        if self.slot_op.size:
+            base[self.slot_op, self.slot_par] = (
+                values[self.slot_param] * self.slot_coeff)
+        return CircuitTensor(np.asarray(self.ct.gate_ids),
+                             np.asarray(self.ct.qubits), base,
+                             self.ct.num_qubits)
+
     def bind(self, values) -> CircuitTensor:
         """values: float[..., P] → CircuitTensor with batched params.
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from ..utils.rng import prng_key
 
 
 def fix_random_seed(seed: int = 0):
@@ -28,7 +29,7 @@ def fix_random_seed(seed: int = 0):
     os.environ["PYTHONHASHSEED"] = str(seed)
     np.random.seed(seed)
     print(f"random seed fixed to {seed}")
-    return jax.random.PRNGKey(seed)
+    return prng_key(seed)
 
 
 def save_checkpoint(path: str, variables, extra: Optional[dict] = None):
@@ -95,7 +96,7 @@ def train_model(model, inputs_fn: Callable[[Dict[str, np.ndarray], Any], tuple],
         (variables, history) — history has train/val loss curves.
     """
     rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
+    key = prng_key(seed)
     y = np.asarray(y, np.float32)
     if y.ndim == 1:
         y = y[:, None]

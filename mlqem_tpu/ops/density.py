@@ -65,8 +65,12 @@ def run_density(ct: CircuitTensor, key_ids: jnp.ndarray,
     n = _sim_width(ct.num_qubits)
     dm = density_zero(ct.num_qubits) if dm0 is None else dm0
     mats = op_unitaries(ct.gate_ids, ct.params, dm.dtype)
+    # 32-bit at the host→device boundary (axon rejects 64-bit buffers)
+    if isinstance(noise_table, np.ndarray):
+        noise_table = noise_table.astype(np.complex64)
     noise_table = jnp.asarray(noise_table).astype(dm.dtype)
-    key_ids = jnp.asarray(key_ids)
+    key_ids = jnp.asarray(np.asarray(key_ids, np.int32)
+                          if isinstance(key_ids, np.ndarray) else key_ids)
 
     def step(state, op):
         mat4, qp, key = op
@@ -90,7 +94,9 @@ def batch_density_matrices(ct: CircuitTensor, key_ids, noise_table
                            ) -> jnp.ndarray:
     """Density matrices for a circuit batch."""
     return _batched_density(ct.gate_ids, ct.qubits, ct.params,
-                            jnp.asarray(key_ids), jnp.asarray(noise_table),
+                            jnp.asarray(np.asarray(key_ids, np.int32)),
+                            jnp.asarray(np.asarray(noise_table,
+                                                   np.complex64)),
                             ct.num_qubits)
 
 

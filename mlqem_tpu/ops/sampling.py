@@ -21,10 +21,22 @@ from .unitaries import popcount
 @partial(jax.jit, static_argnames=("shots",))
 def sample_outcomes(key: jax.Array, probs: jnp.ndarray, shots: int
                     ) -> jnp.ndarray:
-    """Draw basis-state outcomes: probs[..., D] → int32[..., shots]."""
-    logits = jnp.log(jnp.clip(probs, 1e-30, 1.0))
-    return jax.random.categorical(key, logits[..., None, :], axis=-1,
-                                  shape=probs.shape[:-1] + (shots,))
+    """Draw basis-state outcomes: probs[..., D] → int32[..., shots].
+
+    Inverse-CDF sampling (cumsum + vmapped binary search) — O(B·D + B·S·logD)
+    instead of the gumbel trick's O(B·S·D) intermediate, which dominates
+    compile and runtime at 10k-shot batches.
+    """
+    batch = probs.shape[:-1]
+    D = probs.shape[-1]
+    cdf = jnp.cumsum(probs.astype(jnp.float32), axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    u = jax.random.uniform(key, batch + (shots,), dtype=jnp.float32)
+    flat_cdf = cdf.reshape(-1, D)
+    flat_u = u.reshape(-1, shots)
+    idx = jax.vmap(lambda c, x: jnp.searchsorted(c, x))(flat_cdf, flat_u)
+    return jnp.minimum(idx, D - 1).astype(jnp.int32).reshape(
+        batch + (shots,))
 
 
 @partial(jax.jit, static_argnames=("shots", "dim"))

@@ -1,0 +1,229 @@
+"""Pauli-twirled trajectory simulator — the high-throughput noisy engine.
+
+Noise channels are projected onto their Pauli-twirled form (a Pauli channel
+with probabilities from the Walsh–Hadamard transform of the PTM diagonal),
+and noisy expectation values are estimated by quantum trajectories: each
+trajectory is a statevector run where every noisy op is followed by a
+*sampled* Pauli insertion — fused into the gate's 4x4, so the per-op cost
+equals the ideal simulator's. A 10Q trajectory state is 1024 amplitudes vs
+the 2^20-entry density matrix, which is what makes the ≥100k pairs/min
+BASELINE target reachable; the exact density-matrix engine
+(:mod:`mlqem_tpu.ops.density`) remains the ground-truth path.
+
+Faithfulness: the reference's noisy labels are themselves 10k-shot
+Aer estimates, and its hardware pipeline Pauli-twirls every 2q gate
+(``h31``); a twirled trajectory mean with a matched shot budget reproduces
+exactly that statistical object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuits.circuit import CircuitTensor
+from ..device.noise import NoiseModel, compile_noise_table
+from ..ops.channels import Channel
+from .unitaries import COMPLEX_DTYPE, op_unitaries, pair_indices
+
+# the 16 two-qubit Paulis in (a=MSB, b=LSB) order: index = 4*pa + pb
+_P1 = [np.eye(2), np.array([[0, 1], [1, 0]]),
+       np.array([[0, -1j], [1j, 0]]), np.diag([1, -1])]
+PAULI_4X4 = np.stack([np.kron(_P1[a], _P1[b])
+                      for a in range(4) for b in range(4)]).astype(
+    np.complex64)
+
+
+def pauli_channel_probs(channel: Channel) -> np.ndarray:
+    """Pauli-twirled probabilities p[16] of a 2q channel.
+
+    p_Q = (1/16) Σ_P w(Q,P) · R_P with R_P = tr(P E(P))/4 the PTM diagonal
+    and w(Q,P) = ±1 for commuting/anticommuting Pauli pairs.
+    """
+    ch = channel.expand_to_2q(0) if channel.dim == 2 else channel
+    R = np.zeros(16)
+    for i, P in enumerate(PAULI_4X4):
+        acc = np.zeros((4, 4), dtype=np.complex128)
+        for K in ch.kraus:
+            acc += K @ P @ np.conj(K.T)
+        R[i] = np.real(np.trace(P @ acc)) / 4.0
+    # commutation sign matrix over the 16 Paulis
+    w = np.zeros((16, 16))
+    def masks(i):
+        a, b = divmod(i, 4)
+        xa = a in (1, 2)
+        za = a in (2, 3)
+        xb = b in (1, 2)
+        zb = b in (2, 3)
+        return (xa, za, xb, zb)
+    for qi in range(16):
+        xq = masks(qi)
+        for pi in range(16):
+            xp = masks(pi)
+            # symplectic product per qubit
+            s = (xq[0] & xp[1]) ^ (xq[1] & xp[0]) \
+                ^ (xq[2] & xp[3]) ^ (xq[3] & xp[2])
+            w[qi, pi] = -1.0 if s else 1.0
+    p = (w @ R) / 16.0
+    p = np.clip(p, 0.0, None)
+    s = p.sum()
+    if s > 0:
+        p = p / s
+    return p
+
+
+def twirled_noise_tables(ct: CircuitTensor, noise: Optional[NoiseModel]
+                         ) -> np.ndarray:
+    """Per-op Pauli-channel probabilities: float32[L, 16].
+
+    Built from the same (gate, qubits) channel lookup as the dm engine;
+    noiseless ops get p = [1, 0, …] (identity).
+    """
+    key_ids, _ = compile_noise_table(ct, noise)
+    gate_ids = np.asarray(ct.gate_ids)
+    qubits = np.asarray(ct.qubits)
+    from ..circuits.gates import GATE_NAMES, GATE_NUM_QUBITS
+
+    flat_g = gate_ids.reshape(-1)
+    flat_q = qubits.reshape(-1, 2)
+    probs = np.zeros((flat_g.shape[0], 16), np.float32)
+    probs[:, 0] = 1.0
+    cache: Dict[Tuple[int, int, int], np.ndarray] = {}
+    if noise is not None:
+        for idx in range(flat_g.shape[0]):
+            g = int(flat_g[idx])
+            if g == 0:
+                continue
+            a, b = int(flat_q[idx, 0]), int(flat_q[idx, 1])
+            ck = (g, a, b)
+            if ck not in cache:
+                name = GATE_NAMES[g]
+                nq = GATE_NUM_QUBITS.get(name, 1)
+                chan = noise.channel_for(name, (a, b) if nq == 2 else (a,))
+                cache[ck] = (pauli_channel_probs(chan).astype(np.float32)
+                             if chan is not None else probs[0] * 0 + np.eye(
+                                 1, 16, 0, dtype=np.float32)[0])
+            probs[idx] = cache[ck]
+    return probs.reshape(gate_ids.shape + (16,))
+
+
+def apply_op_batched_mat(state, mat4, a, b, n):
+    """apply_op with per-state matrices: mat4[..., 4, 4]."""
+    idx = pair_indices(a, b, n)
+    amps = state[..., idx]
+    new = jnp.einsum("...ij,...jr->...ir", mat4, amps)
+    return state.at[..., idx].set(new)
+
+
+def run_trajectories(ct: CircuitTensor, pauli_probs: jnp.ndarray,
+                     n_traj: int, key) -> jnp.ndarray:
+    """Trajectory statevectors for ONE circuit: complex[n_traj, 2^n].
+
+    pauli_probs: float32[L, 16] per-op twirled noise.
+    """
+    n = max(ct.num_qubits, 2)
+    dim = 2 ** n
+    state = jnp.zeros((n_traj, dim), COMPLEX_DTYPE).at[:, 0].set(1.0)
+    mats = op_unitaries(ct.gate_ids, ct.params, COMPLEX_DTYPE)  # [L, 4, 4]
+    L = mats.shape[0]
+    # pre-sample all Pauli insertions: [L, n_traj]
+    logits = jnp.log(jnp.clip(pauli_probs, 1e-30, 1.0))        # [L, 16]
+    choices = jax.random.categorical(
+        key, logits[:, None, :], axis=-1, shape=(L, n_traj))
+    pauli_table = jnp.asarray(PAULI_4X4)
+
+    def step(state, op):
+        mat4, qp, choice = op
+        noise_mats = pauli_table[choice]            # [n_traj, 4, 4]
+        full = jnp.einsum("tij,jk->tik", noise_mats, mat4)
+        return apply_op_batched_mat(state, full, qp[0], qp[1], n), None
+
+    state, _ = jax.lax.scan(step, state, (mats, ct.qubits, choices))
+    return state
+
+
+def run_trajectories_presampled(ct_struct: CircuitTensor,
+                                params: jnp.ndarray,
+                                choices: jnp.ndarray, n_traj: int,
+                                num_qubits: int) -> jnp.ndarray:
+    """Trajectory ensemble with pre-sampled Pauli choices (scan engine).
+
+    params [B, L, 3], choices int[B, T, L] → states [B, T, 2^n]. The shared
+    gate_ids/qubits come from ``ct_struct`` (template batch).
+    """
+    n = max(num_qubits, 2)
+    gate_ids = jnp.asarray(ct_struct.gate_ids)
+    qubits = jnp.asarray(ct_struct.qubits)
+    pauli_table = jnp.asarray(PAULI_4X4)
+
+    def one(params_b, choices_b):
+        mats = op_unitaries(gate_ids, params_b, COMPLEX_DTYPE)  # [L, 4, 4]
+        T = choices_b.shape[0]
+        state = jnp.zeros((T, 2 ** n), COMPLEX_DTYPE).at[:, 0].set(1.0)
+
+        def step(state, op):
+            mat4, qp, choice = op
+            noise_mats = pauli_table[choice]          # [T, 4, 4]
+            full = jnp.einsum("tij,jk->tik", noise_mats, mat4)
+            return apply_op_batched_mat(state, full, qp[0], qp[1], n), None
+
+        state, _ = jax.lax.scan(
+            step, state, (mats, qubits, jnp.swapaxes(choices_b, 0, 1)))
+        return state
+
+    return jax.vmap(one)(params, choices)
+
+
+@partial(jax.jit, static_argnames=("n_traj", "num_qubits"))
+def _batch_trajectories(gate_ids, qubits, params, pauli_probs, keys,
+                        n_traj, num_qubits):
+    def one(g, q, p, pp, k):
+        return run_trajectories(CircuitTensor(g, q, p, num_qubits), pp,
+                                n_traj, k)
+
+    return jax.vmap(one)(gate_ids, qubits, params, pauli_probs, keys)
+
+
+def trajectory_z_labels(ct: CircuitTensor, noise: Optional[NoiseModel],
+                        n_traj: int, shots_per_traj: Optional[int],
+                        seed: int = 0,
+                        readout: Optional[np.ndarray] = None) -> np.ndarray:
+    """Noisy per-qubit ⟨Z⟩ labels for a circuit batch via trajectories.
+
+    Total effective shots = n_traj × shots_per_traj (or exact trajectory
+    average when shots_per_traj is None). Readout error is applied to each
+    trajectory's outcome distribution before sampling.
+    """
+    from ..utils.rng import prng_key
+    from .density import apply_readout_confusion
+    from .sampling import sample_outcomes
+    from .statevector import z_expectations
+
+    nq = ct.num_qubits
+    B = ct.gate_ids.shape[0]
+    pauli_probs = twirled_noise_tables(ct, noise)
+    base = jax.random.split(prng_key(seed), B + 1)
+    keys, sample_key = base[:B], base[B]
+
+    states = _batch_trajectories(
+        jnp.asarray(ct.gate_ids), jnp.asarray(ct.qubits),
+        jnp.asarray(ct.params), jnp.asarray(pauli_probs), keys,
+        n_traj, nq)                                     # [B, T, dim]
+    probs = jnp.real(states * jnp.conj(states))
+    if readout is not None:
+        probs = apply_readout_confusion(
+            probs, jnp.asarray(np.asarray(readout, np.float32)), nq)
+    if shots_per_traj is None:
+        z = z_expectations(probs, nq)                   # [B, T, nq]
+        return np.asarray(jnp.mean(z, axis=1))
+    outcomes = sample_outcomes(sample_key, probs, shots_per_traj)
+    outs = []
+    for q in range(nq):
+        bit = (outcomes >> q) & 1
+        outs.append(1.0 - 2.0 * jnp.mean(
+            bit.astype(jnp.float32), axis=(-2, -1)))
+    return np.asarray(jnp.stack(outs, axis=-1))

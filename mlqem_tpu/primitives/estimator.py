@@ -33,6 +33,7 @@ from ..ops.density import (apply_readout_confusion, batch_density_matrices,
                            dm_probabilities, expval_pauli_sum_dm, run_density)
 from ..ops.sampling import (expectation_from_probs, sampled_parity_expectation)
 from ..ops.statevector import batch_statevectors, expval_pauli_sum
+from ..utils.rng import prng_key
 
 
 @dataclasses.dataclass
@@ -155,7 +156,7 @@ class NoisyEstimator(BaseEstimator):
             self.device = None
         self.shots = shots
         self.readout = readout
-        self._key = jax.random.PRNGKey(seed)
+        self._key = prng_key(seed)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -174,7 +175,8 @@ class NoisyEstimator(BaseEstimator):
         confusion = None
         if self.readout and self.noise_model is not None \
                 and self.noise_model.readout is not None:
-            confusion = jnp.asarray(self.noise_model.readout[:n])
+            confusion = jnp.asarray(
+                np.asarray(self.noise_model.readout[:n], np.float32))
 
         values = np.zeros(len(circuits), dtype=np.float64)
         # group circuit indices by the measurement basis their terms need
@@ -225,7 +227,7 @@ class CountsBackend:
                 NoiseModel.from_device(backend)
         else:
             self.noise_model = backend
-        self._key = jax.random.PRNGKey(seed)
+        self._key = prng_key(seed)
 
     def run_probs(self, circuits: Sequence[Circuit]) -> np.ndarray:
         """Measurement distributions after noise + readout: [B, 2**n]."""
@@ -236,7 +238,9 @@ class CountsBackend:
         probs = dm_probabilities(dms)
         if self.noise_model is not None and self.noise_model.readout is not None:
             probs = apply_readout_confusion(
-                probs, jnp.asarray(self.noise_model.readout[:n]), n)
+                probs,
+                jnp.asarray(np.asarray(self.noise_model.readout[:n],
+                                       np.float32)), n)
         dim = 2 ** n
         return np.asarray(probs)[:, :dim]
 
