@@ -95,6 +95,9 @@ def synthesize_device(name: str, num_qubits: int,
         for g in ("sx", "x", "id"):
             gates[f"{g}_{q}"] = GateProps(e, 3.55e-8)
         gates[f"rz_{q}"] = GateProps(0.0, 0.0)
+        # keep gates_set congruent with the Lima/Montreal snapshots so flat
+        # feature vectors share one width across devices (transfer learning)
+        gates[f"reset_{q}"] = GateProps(0.0, 5.8e-6)
     basis = [two_q_gate, "id", "rz", "sx", "x"]
     return DeviceModel(name, num_qubits, basis, coupling_map, qubits, gates)
 

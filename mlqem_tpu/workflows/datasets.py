@@ -1,0 +1,204 @@
+"""Experiment datasets: the notebook-layer data-generation workflows.
+
+Rebuilds the reference's dataset notebooks as functions:
+
+* :func:`ising_dataset` — ``h13_ising_data_gen``: TFIM Trotter circuits over
+  (J, steps, measure-basis) with three noise settings ('device' as-is /
+  'coherent' CX over-rotation / 'no_readout') and per-qubit Z labels.
+* :func:`mbl_dataset` — ``h02_mbd_data_gen``: MBL Floquet circuits,
+  per-qubit ⟨Z⟩ + charge-imbalance targets.
+* :func:`tiling_dataset` — ``h05``: small active circuits embedded in a
+  larger register.
+* :func:`cut_bond_dataset` — ``h06``: MBL with removed CZ bonds.
+* :func:`random_circuit_dataset` — ``h38`` / ``02_data_generation``.
+
+Every function returns plain numpy arrays + the circuits, ready for
+``encode_data``/graph encoding and the model trainers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..circuits.circuit import Circuit, stack_circuits
+from ..circuits.families import (IsingModel, IsingOptions,
+                                 construct_mbl_circ_with_cut,
+                                 construct_mbl_circuit, construct_tiling,
+                                 generate_disorder, random_circuit)
+from ..circuits.observables import single_z
+from ..data.encoders import calc_imbalance
+from ..device.model import DeviceModel
+from ..device.noise import NoiseModel, add_coherent_cx_noise
+from ..primitives.estimator import IdealEstimator, NoisyEstimator
+
+
+def noise_setting(device: DeviceModel, setting: str,
+                  theta: float = 0.05 * np.pi,
+                  seed: Optional[int] = None) -> NoiseModel:
+    """The reference's three noise settings (``h13``):
+    'device' (FakeLima as-is), 'coherent' (CX over-rotation via AddNoise),
+    'no_readout' (RemoveReadoutErrors)."""
+    if setting == "device":
+        return NoiseModel.from_device(device)
+    if setting == "coherent":
+        return add_coherent_cx_noise(device, theta=theta, uniform=False,
+                                     add_depolarization=True,
+                                     add_coherent=True, seed=seed)
+    if setting == "no_readout":
+        return NoiseModel.from_device(device).without_readout()
+    raise ValueError(f"unknown noise setting {setting!r}")
+
+
+def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
+               noise_model: NoiseModel, shots: Optional[int],
+               seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(ideal[B, nq], noisy[B, nq]) per-qubit Z labels for circuit lists."""
+    nq = circuits[0].num_qubits
+    obs = [single_z(q, nq) for q in range(nq)]
+    ideal = np.stack(
+        [IdealEstimator().run(list(circuits), o).result().values
+         for o in obs], axis=1)
+    noisy_est = NoisyEstimator(noise_model, shots=shots, seed=seed)
+    noisy = np.stack(
+        [noisy_est.run(list(circuits), o).result().values for o in obs],
+        axis=1)
+    return ideal, noisy
+
+
+@dataclasses.dataclass
+class LabeledDataset:
+    circuits: List[Circuit]
+    ideal: np.ndarray          # [B, nq]
+    noisy: np.ndarray          # [B, nq]
+    meta: List[dict]
+
+    def __len__(self):
+        return len(self.circuits)
+
+
+def ising_dataset(device: DeviceModel,
+                  options: Optional[IsingOptions] = None,
+                  num_circuits: int = 100,
+                  steps_range: Tuple[int, int] = (0, 6),
+                  J_range: Tuple[float, float] = (0.05, 0.6),
+                  bases: Sequence[str] = ("Z",),
+                  noise: str = "device",
+                  shots: Optional[int] = 10000,
+                  seed: int = 0) -> LabeledDataset:
+    """TFIM Trotter dataset with randomized (J, steps, basis)."""
+    rng = np.random.default_rng(seed)
+    base = options or IsingOptions.config_4q_paper()
+    nm = noise_setting(device, noise, seed=seed)
+    circuits, meta = [], []
+    for _ in range(num_circuits):
+        J = float(rng.uniform(*J_range))
+        steps = int(rng.integers(steps_range[0], steps_range[1]))
+        basis = str(rng.choice(list(bases)))
+        ops = dataclasses.replace(base, J=J)
+        qc = IsingModel.make_circs_sweep(ops, steps, basis, measure=False)
+        circuits.append(qc)
+        meta.append({"J": J, "steps": steps, "basis": basis})
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    return LabeledDataset(circuits, ideal, noisy, meta)
+
+
+def ising_step_sweep(device: DeviceModel, options: IsingOptions,
+                     num_steps: int, basis: str = "Z",
+                     noise: str = "device",
+                     shots: Optional[int] = 10000,
+                     seed: int = 0) -> LabeledDataset:
+    """Trotter-step time series (the demo2 evaluation axis)."""
+    nm = noise_setting(device, noise, seed=seed)
+    circuits = [IsingModel.make_circs_sweep(options, s, basis,
+                                            measure=False)
+                for s in range(num_steps + 1)]
+    meta = [{"J": options.J, "steps": s, "basis": basis}
+            for s in range(num_steps + 1)]
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    return LabeledDataset(circuits, ideal, noisy, meta)
+
+
+def mbl_dataset(device: DeviceModel, num_qubits: int = 4,
+                num_circuits: int = 50, theta: float = 0.05 * np.pi,
+                steps_range: Tuple[int, int] = (1, 4),
+                noise: str = "device",
+                shots: Optional[int] = 10000,
+                seed: int = 0,
+                broken_connections: Optional[Sequence] = None,
+                ) -> LabeledDataset:
+    """MBL Floquet dataset (+ optional cut bonds for the h06 variant).
+
+    Imbalance targets can be computed from the labels via
+    :func:`dataset_imbalance`.
+    """
+    rng = np.random.default_rng(seed)
+    nm = noise_setting(device, noise, seed=seed)
+    circuits, meta = [], []
+    for _ in range(num_circuits):
+        disorder = generate_disorder(num_qubits,
+                                     seed=int(rng.integers(2 ** 31)))
+        steps = int(rng.integers(steps_range[0], steps_range[1] + 1))
+        if broken_connections is not None:
+            qc = construct_mbl_circ_with_cut(num_qubits, disorder, theta,
+                                             steps, broken_connections,
+                                             measure=False)
+        else:
+            qc = construct_mbl_circuit(num_qubits, disorder, theta, steps,
+                                       measure=False)
+        circuits.append(qc)
+        meta.append({"disorder": disorder, "theta": theta, "steps": steps})
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    return LabeledDataset(circuits, ideal, noisy, meta)
+
+
+def dataset_imbalance(ds: LabeledDataset) -> Tuple[np.ndarray, np.ndarray]:
+    """(ideal, noisy) MBL charge imbalance per circuit.
+
+    Uses the reference's counts-convention z (P(1)−P(0) = −⟨Z⟩), matching
+    ``calc_imbalance``'s expectations (``mbd_utils.py:353-383``)."""
+    nq = ds.ideal.shape[1]
+    even = [q for q in range(nq) if q % 2 == 0]
+    odd = [q for q in range(nq) if q % 2 == 1]
+    return (calc_imbalance(-ds.ideal, even, odd),
+            calc_imbalance(-ds.noisy, even, odd))
+
+
+def tiling_dataset(device: DeviceModel, active_qubits: int,
+                   total_qubits: int, num_circuits: int = 50,
+                   theta: float = 0.05 * np.pi, steps: int = 2,
+                   noise: str = "device", shots: Optional[int] = 10000,
+                   seed: int = 0) -> LabeledDataset:
+    """Small MBL circuits embedded in a larger register (``h05``)."""
+    rng = np.random.default_rng(seed)
+    nm = noise_setting(device, noise, seed=seed)
+    circuits, meta = [], []
+    for _ in range(num_circuits):
+        disorder = generate_disorder(active_qubits,
+                                     seed=int(rng.integers(2 ** 31)))
+        active = construct_mbl_circuit(active_qubits, disorder, theta,
+                                       steps, measure=False)
+        offset = int(rng.integers(0, total_qubits - active_qubits + 1))
+        qc = construct_tiling(active, total_qubits, offset, measure=False)
+        circuits.append(qc)
+        meta.append({"offset": offset, "steps": steps})
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    return LabeledDataset(circuits, ideal, noisy, meta)
+
+
+def random_circuit_dataset(device: DeviceModel, num_qubits: int,
+                           depth: int, num_circuits: int = 100,
+                           noise: str = "device",
+                           shots: Optional[int] = 10000,
+                           seed: int = 0) -> LabeledDataset:
+    """Random-circuit dataset (``h38`` / ``02_data_generation``)."""
+    rng = np.random.default_rng(seed)
+    nm = noise_setting(device, noise, seed=seed)
+    circuits = [random_circuit(num_qubits,
+                               int(rng.integers(1, depth + 1)),
+                               seed=int(rng.integers(2 ** 31)))
+                for _ in range(num_circuits)]
+    meta = [{"depth": c.depth()} for c in circuits]
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    return LabeledDataset(circuits, ideal, noisy, meta)

@@ -1,0 +1,154 @@
+"""Mitigation workflows: model training, ZNE batch runs, mimicry.
+
+Rebuilds the reference's experiment drivers:
+
+* :func:`encode_dataset` + :func:`train_mitigation_model` — the
+  ``h10/h12/h15`` model-zoo sweep: identical flat features, swap regressor.
+* :func:`zne_batch` — the ``zne_parallel.py`` runner: ZNE over a whole
+  dataset in batched TPU calls instead of a process pool.
+* :func:`train_zne_mimic` — ``h19_mimic_zne`` / demo1's core move: train a
+  model on (noisy → ZNE-mitigated) labels so mitigation no longer needs
+  classically simulable ideal values.
+* :func:`evaluate_mitigation` — RMSE table (noisy / mitigated vs ideal),
+  the demo notebooks' headline numbers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..circuits.observables import single_z
+from ..data.encoders import encode_data
+from ..device.model import DeviceModel
+from ..metrics import rmse
+from ..mitigation.zne import ZNEEstimator, ZNEStrategy
+from ..primitives.estimator import NoisyEstimator
+from .datasets import LabeledDataset, noise_setting
+
+
+def encode_dataset(ds: LabeledDataset, device: DeviceModel
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """(X, y) in the reference's flat-feature format; y = ideal labels."""
+    props = device.properties()
+    nq = ds.ideal.shape[1]
+    return encode_data(ds.circuits, props, ds.ideal.tolist(),
+                       ds.noisy.tolist(), nq)
+
+
+def train_mitigation_model(model, ds: LabeledDataset, device: DeviceModel,
+                           test_fraction: float = 0.2, seed: int = 0,
+                           **train_kwargs) -> Dict:
+    """Train any regressor on (features → ideal) and report RMSEs.
+
+    ``model``: anything with fit/predict (linear, forest, sklearn) or a
+    flax module (trained via ``train_mlp``).
+    """
+    X, y = encode_dataset(ds, device)
+    rng = np.random.default_rng(seed)
+    n = len(ds)
+    idx = rng.permutation(n)
+    n_test = max(1, int(n * test_fraction))
+    te, tr = idx[:n_test], idx[n_test:]
+
+    if hasattr(model, "fit"):
+        model.fit(X[tr], y[tr])
+        pred = np.asarray(model.predict(X[te]))
+        variables = None
+    else:
+        from ..models.train import mlp_inputs, predict, train_mlp
+
+        variables, _ = train_mlp(model, X[tr], y[tr], seed=seed,
+                                 **train_kwargs)
+        pred = predict(model, variables, mlp_inputs, {"X": X[te]})
+    if pred.ndim == 1:
+        pred = pred[:, None]
+    return {
+        "rmse_noisy": float(rmse(ds.noisy[te], ds.ideal[te])),
+        "rmse_mitigated": float(rmse(pred, ds.ideal[te])),
+        "rmse_per_qubit_noisy": rmse(ds.noisy[te], ds.ideal[te],
+                                     axis=0).tolist(),
+        "rmse_per_qubit_mitigated": rmse(pred, ds.ideal[te],
+                                         axis=0).tolist(),
+        "test_indices": te.tolist(),
+        "model": model,
+        "variables": variables,
+    }
+
+
+def zne_batch(ds: LabeledDataset, device: DeviceModel,
+              strategy: Optional[ZNEStrategy] = None,
+              noise: str = "device", shots: Optional[int] = 10000,
+              seed: int = 0) -> np.ndarray:
+    """ZNE-mitigated per-qubit Z values for every circuit: [B, nq].
+
+    The ``zne_parallel.py`` equivalent — one batched call per observable
+    instead of a multiprocessing pool over circuits (:269-271).
+    """
+    nm = noise_setting(device, noise, seed=seed)
+    est = ZNEEstimator(NoisyEstimator(nm, shots=shots, seed=seed),
+                       strategy or ZNEStrategy(noise_factors=(1, 3)))
+    nq = ds.ideal.shape[1]
+    cols = []
+    for q in range(nq):
+        obs = single_z(q, ds.circuits[0].num_qubits)
+        cols.append(est.run(list(ds.circuits), obs).result().values)
+    return np.stack(cols, axis=1)
+
+
+def train_zne_mimic(model, ds: LabeledDataset, device: DeviceModel,
+                    zne_values: Optional[np.ndarray] = None,
+                    strategy: Optional[ZNEStrategy] = None,
+                    test_fraction: float = 0.2, seed: int = 0,
+                    shots: Optional[int] = 10000) -> Dict:
+    """Mimicry: learn the ZNE *output* instead of the ideal value.
+
+    This removes the need for classically simulable labels — the 100Q
+    hardware pipeline's trick (h19/h26/h33, demo1). Reports RMSE of the
+    mimic vs actual ZNE and (when ideal labels exist) vs ideal.
+    """
+    if zne_values is None:
+        zne_values = zne_batch(ds, device, strategy, shots=shots, seed=seed)
+    mimic_ds = LabeledDataset(ds.circuits, zne_values, ds.noisy, ds.meta)
+    out = train_mitigation_model(model, mimic_ds, device,
+                                 test_fraction=test_fraction, seed=seed)
+    te = np.asarray(out["test_indices"])
+    X, _ = encode_dataset(ds, device)
+    pred = np.asarray(out["model"].predict(X[te])) \
+        if out["variables"] is None else None
+    result = {
+        "rmse_mimic_vs_zne": out["rmse_mitigated"],
+        "rmse_noisy_vs_zne": out["rmse_noisy"],
+        "zne_values": zne_values,
+        "model": out["model"],
+        "variables": out["variables"],
+    }
+    if ds.ideal is not None and pred is not None:
+        result["rmse_mimic_vs_ideal"] = float(rmse(pred, ds.ideal[te]))
+        result["rmse_zne_vs_ideal"] = float(
+            rmse(zne_values[te], ds.ideal[te]))
+        result["rmse_noisy_vs_ideal"] = float(
+            rmse(ds.noisy[te], ds.ideal[te]))
+    return result
+
+
+def model_comparison(ds: LabeledDataset, device: DeviceModel,
+                     seed: int = 0,
+                     mlp_epochs: int = 150) -> Dict[str, Dict]:
+    """The h34/h17 model-vs-model table: OLS / RF / MLP1 on one dataset."""
+    from ..models.forest import RandomForestRegressor
+    from ..models.linear import LinearRegression
+    from ..models.mlp import MLP1
+
+    nq = ds.ideal.shape[1]
+    out = {}
+    out["ols"] = train_mitigation_model(LinearRegression(), ds, device,
+                                        seed=seed)
+    out["random_forest"] = train_mitigation_model(
+        RandomForestRegressor(n_estimators=100, random_state=seed), ds,
+        device, seed=seed)
+    out["mlp1"] = train_mitigation_model(
+        MLP1(hidden_size=64, output_size=nq), ds, device, seed=seed,
+        num_epochs=mlp_epochs, batch_size=32, learning_rate=3e-3)
+    return out

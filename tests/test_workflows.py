@@ -1,0 +1,140 @@
+"""Experiment workflows: datasets, mitigation training, mimicry, transfer."""
+import numpy as np
+import pytest
+
+from mlqem_tpu.circuits.families import IsingOptions
+from mlqem_tpu.device.registry import configurable_device, get_device
+from mlqem_tpu.models.linear import LinearRegression
+from mlqem_tpu.models.forest import RandomForestRegressor
+from mlqem_tpu.workflows.datasets import (LabeledDataset, dataset_imbalance,
+                                          ising_dataset, ising_step_sweep,
+                                          mbl_dataset, noise_setting,
+                                          random_circuit_dataset,
+                                          tiling_dataset)
+from mlqem_tpu.workflows.mitigate import (encode_dataset, model_comparison,
+                                          train_mitigation_model,
+                                          train_zne_mimic, zne_batch)
+from mlqem_tpu.workflows.transfer import (calibration_drift,
+                                          calibration_snapshots,
+                                          device_at_time, finetune,
+                                          scalability_sweep)
+
+DEV = get_device("fake_lima")
+
+
+def test_noise_settings():
+    for s in ("device", "coherent", "no_readout"):
+        nm = noise_setting(DEV, s, seed=0)
+        assert nm.has_noise()
+    assert noise_setting(DEV, "no_readout").readout is None
+    with pytest.raises(ValueError):
+        noise_setting(DEV, "bogus")
+
+
+def test_ising_dataset_and_training():
+    ds = ising_dataset(DEV, num_circuits=40, shots=None, seed=1)
+    assert ds.ideal.shape == (40, 4)
+    assert np.all(np.abs(ds.ideal) <= 1.0 + 1e-6)
+    out = train_mitigation_model(LinearRegression(), ds, DEV, seed=0)
+    assert out["rmse_mitigated"] < out["rmse_noisy"]
+
+
+def test_ising_step_sweep():
+    ds = ising_step_sweep(DEV, IsingOptions.config_4q_paper(), 3,
+                          shots=None)
+    assert len(ds) == 4
+    # step 0 → |0000⟩ → ideal per-qubit Z = +1
+    np.testing.assert_allclose(ds.ideal[0], 1.0, atol=1e-5)
+
+
+def test_mbl_dataset_and_imbalance():
+    ds = mbl_dataset(DEV, num_qubits=4, num_circuits=6, shots=None, seed=2)
+    assert ds.ideal.shape == (6, 4)
+    ib_ideal, ib_noisy = dataset_imbalance(ds)
+    assert ib_ideal.shape == (6,)
+    assert np.all(np.abs(ib_ideal) <= 1.0 + 1e-6)
+
+
+def test_mbl_cut_variant():
+    ds = mbl_dataset(DEV, num_qubits=4, num_circuits=3, shots=None,
+                     broken_connections=[(1, 2)], seed=3)
+    assert all("cz" not in [o for o in []] or True for _ in ds.circuits)
+    counts = ds.circuits[0].count_ops()
+    full = mbl_dataset(DEV, num_qubits=4, num_circuits=3, shots=None,
+                       seed=3)
+    assert counts.get("cz", 0) < full.circuits[0].count_ops().get("cz", 99)
+
+
+def test_tiling_dataset():
+    ds = tiling_dataset(DEV, active_qubits=2, total_qubits=4,
+                        num_circuits=4, shots=None, seed=1)
+    assert ds.circuits[0].num_qubits == 4
+
+
+def test_random_circuit_dataset():
+    ds = random_circuit_dataset(DEV, 3, 3, num_circuits=5, shots=None)
+    assert ds.ideal.shape == (5, 3)
+
+
+def test_zne_batch_and_mimicry():
+    ds = ising_dataset(DEV, num_circuits=60, shots=None, seed=4)
+    zne_vals = zne_batch(ds, DEV, shots=None)
+    assert zne_vals.shape == ds.ideal.shape
+    # ZNE should improve over raw noisy on average
+    from mlqem_tpu.metrics import rmse
+    assert rmse(zne_vals, ds.ideal) < rmse(ds.noisy, ds.ideal)
+    out = train_zne_mimic(
+        RandomForestRegressor(n_estimators=50, random_state=0), ds, DEV,
+        zne_values=zne_vals, seed=0)
+    # the mimic reproduces ZNE well and improves on raw noisy vs ideal
+    assert out["rmse_mimic_vs_zne"] < 0.05
+    assert out["rmse_mimic_vs_ideal"] < out["rmse_noisy_vs_ideal"]
+
+
+def test_model_comparison():
+    ds = ising_dataset(DEV, num_circuits=60, shots=None, seed=5)
+    table = model_comparison(ds, DEV, seed=0, mlp_epochs=100)
+    assert set(table) == {"ols", "random_forest", "mlp1"}
+    # the strong models beat the noisy baseline on this easy task
+    assert table["ols"]["rmse_mitigated"] < table["ols"]["rmse_noisy"]
+    assert (table["random_forest"]["rmse_mitigated"]
+            < table["random_forest"]["rmse_noisy"])
+    assert np.isfinite(table["mlp1"]["rmse_mitigated"])
+
+
+def test_finetune_cross_device():
+    from mlqem_tpu.models.mlp import MLP1
+    from mlqem_tpu.models.train import train_mlp
+    from mlqem_tpu.workflows.mitigate import encode_dataset
+
+    dev_b = configurable_device(4, seed=5)
+    ds_a = ising_dataset(DEV, num_circuits=60, shots=None, seed=6)
+    Xa, ya = encode_dataset(ds_a, DEV)
+    model = MLP1(hidden_size=32, output_size=4)
+    variables, _ = train_mlp(model, Xa, ya, num_epochs=60, batch_size=32,
+                             learning_rate=3e-3, seed=0)
+    ds_b_train = ising_dataset(dev_b, num_circuits=40, shots=None, seed=7)
+    ds_b_test = ising_dataset(dev_b, num_circuits=20, shots=None, seed=8)
+    out = finetune(model, variables, ds_b_train, dev_b, ds_b_test,
+                   num_epochs=40, seed=0)
+    assert out["rmse_finetuned"] <= out["rmse_zero_shot"] + 1e-6
+
+
+def test_calibration_drift():
+    snaps = calibration_snapshots("ibmq_lima")
+    assert len(snaps["times"]) == 120
+    dev_t0 = device_at_time(DEV, snaps, 0)
+    dev_t50 = device_at_time(DEV, snaps, 50)
+    assert dev_t0.t1(0) != dev_t50.t1(0)
+    drift = calibration_drift()
+    assert drift["stat_vectors"].shape == (120, 8)
+    assert max(drift["drift_rel"]) > 0.001  # real drift present
+
+
+def test_scalability_sweep():
+    rows = scalability_sweep(qubit_counts=(5, 20, 100), depths=(1, 4),
+                             circuits_each=4)
+    assert len(rows) == 6
+    widths = {r["n_qubits"] for r in rows}
+    assert 100 in widths
+    assert all(r["circuits_per_sec"] > 0 for r in rows)
