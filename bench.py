@@ -25,12 +25,14 @@ def main():
     ap.add_argument("--nq", type=int, default=10)
     ap.add_argument("--steps", type=int, default=4,
                     help="Trotter steps per circuit (~40 ops/step at 10q)")
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--shots", type=int, default=10000)
-    ap.add_argument("--method", default="trajectory",
-                    choices=["trajectory", "density_matrix"],
-                    help="noisy engine: Pauli-twirled trajectories (the "
-                         "BASELINE north-star path) or exact density matrix")
+    ap.add_argument("--method", default="kicked",
+                    choices=["kicked", "trajectory", "density_matrix"],
+                    help="noisy engine: kicked-Ising Pauli-frame+WHT (the "
+                         "family-specialized fast path), generic "
+                         "Pauli-twirled trajectories, or exact density "
+                         "matrix")
     ap.add_argument("--n-traj", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=20.0,
                     help="steady-state measurement window")
@@ -50,15 +52,24 @@ def main():
     from mlqem_tpu.device.registry import configurable_device
 
     dev = configurable_device(args.nq, seed=0)
-    pipe = IsingLabelPipeline(dev, nq=args.nq, steps=args.steps,
-                              shots=args.shots, dt=0.25,
-                              method=args.method, n_traj=args.n_traj)
+    if args.method == "kicked":
+        from mlqem_tpu.ops.kicked_ising import KickedIsingEngine
+
+        pipe = KickedIsingEngine(dev, nq=args.nq, steps=args.steps,
+                                 dt=0.25, n_traj=args.n_traj,
+                                 shots=args.shots)
+    else:
+        pipe = IsingLabelPipeline(dev, nq=args.nq, steps=args.steps,
+                                  shots=args.shots, dt=0.25,
+                                  method=args.method, n_traj=args.n_traj)
     mesh = make_mesh() if n_chips > 1 else None
 
     rng = np.random.default_rng(0)
 
     def run(seed):
         J = rng.uniform(0.05, 0.6, size=args.batch).astype(np.float32)
+        if args.method == "kicked":
+            return pipe.generate(J, seed=seed)
         return pipe.generate(J, seed=seed, mesh=mesh)
 
     t0 = time.time()
@@ -84,8 +95,9 @@ def main():
           f"→ {pairs_per_min:,.0f}/min ({per_chip:,.0f}/min/chip)",
           file=sys.stderr)
 
-    desc = ("Pauli-twirled trajectory noise" if args.method == "trajectory"
-            else "exact dm noise")
+    desc = {"kicked": "Pauli-frame trajectory noise",
+            "trajectory": "Pauli-twirled trajectory noise",
+            "density_matrix": "exact dm noise"}[args.method]
     print(json.dumps({
         "metric": f"noisy {args.nq}Q training pairs/min "
                   f"({desc} + readout + {args.shots} shots, per chip)",
