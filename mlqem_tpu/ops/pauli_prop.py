@@ -1,0 +1,371 @@
+"""Sparse Pauli propagation: 100Q+ noisy TFIM expectation values.
+
+Heisenberg-picture simulation (the Begušić–Chan approach that reproduced
+IBM's 127q kicked-Ising experiment): the observable is expanded in the Pauli
+basis and conjugated backward through the circuit.
+
+* Clifford gates (CX) remap each Pauli term exactly (16-entry lookup).
+* Rotations (RX kick, the RZ inside each bond) split anticommuting terms in
+  two (cos/sin branches) — growth is controlled by keeping the top-K terms
+  by |coefficient| (`jax.lax.top_k` each layer; discarded weight is
+  tracked as an error estimate).
+* Pauli noise (the twirled device channels) is DIAGONAL here: each term is
+  scaled by f = Σ_p prob_p·(±1), a pure per-term damping — which is what
+  makes noisy 100Q simulation tractable at all.
+* ⟨0…0|P|0…0⟩ = 1 for X-free terms, else 0 → the expectation is one masked
+  coefficient sum.
+
+Terms are bitmask words (uint32[K, W], W = ⌈n/32⌉) + float32 coefficients —
+everything is fixed-shape JAX ops, so a J-sweep at 100 qubits is one
+compiled program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..device.model import DeviceModel
+from ..device.noise import NoiseModel
+
+# ---------------------------------------------------------------------------
+# host-side lookup tables (local 2q Pauli algebra)
+# local code per qubit: 0=I, 1=X, 2=Y, 3=Z  (x-bit = code∈{1,2},
+# z-bit = code∈{2,3}); 2q code = 4·code_a + code_b
+# ---------------------------------------------------------------------------
+_P1 = [np.eye(2), np.array([[0, 1], [1, 0]]),
+       np.array([[0, -1j], [1j, 0]]), np.diag([1, -1])]
+
+
+def _code_mat(c2):
+    a, b = divmod(c2, 4)
+    return np.kron(_P1[a], _P1[b])
+
+
+def _find_code_sign(m):
+    for c in range(16):
+        ref = _code_mat(c)
+        for sign in (1, -1, 1j, -1j):
+            if np.allclose(m, sign * ref, atol=1e-9):
+                return c, sign
+    raise ValueError("not a Pauli")
+
+
+def _cx_conj_table() -> Tuple[np.ndarray, np.ndarray]:
+    """CX·P·CX for the 16 local codes → (new_code[16], sign[16])."""
+    cx = np.eye(4)[[0, 1, 3, 2]]
+    codes = np.zeros(16, np.int32)
+    signs = np.zeros(16, np.float32)
+    for c in range(16):
+        m = cx @ _code_mat(c) @ cx
+        nc, s = _find_code_sign(m)
+        assert s in (1, -1)
+        codes[c], signs[c] = nc, np.real(s)
+    return codes, signs
+
+
+def _zz_mult_table() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For A = Z⊗Z: anticommute[16], and i·A·P = sign·(new code).
+
+    Returns (anti[16] bool, new_code[16], real_sign[16]) — valid where anti.
+    """
+    A = _code_mat(4 * 3 + 3)
+    anti = np.zeros(16, bool)
+    new_code = np.zeros(16, np.int32)
+    sign = np.zeros(16, np.float32)
+    for c in range(16):
+        P = _code_mat(c)
+        if np.allclose(A @ P, P @ A):
+            continue
+        anti[c] = True
+        m = 1j * A @ P
+        nc, s = _find_code_sign(m)
+        assert s in (1, -1), s
+        new_code[c], sign[c] = nc, np.real(s)
+    return anti, new_code, sign
+
+
+def _axis_mult_table(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For a 1q axis A: anticommute[4], i·A·P = sign·new code."""
+    anti = np.zeros(4, bool)
+    new_code = np.zeros(4, np.int32)
+    sign = np.zeros(4, np.float32)
+    for c in range(4):
+        P = _P1[c]
+        if np.allclose(A @ P, P @ A):
+            continue
+        anti[c] = True
+        m = 1j * A @ P
+        for cc in range(4):
+            for s in (1, -1, 1j, -1j):
+                if np.allclose(m, s * _P1[cc], atol=1e-9):
+                    new_code[c], sign[c] = cc, np.real(s)
+    return anti, new_code, sign
+
+
+_CX_CODES, _CX_SIGNS = _cx_conj_table()
+_ZZ_ANTI, _ZZ_NEW, _ZZ_SIGN = _zz_mult_table()
+_X_ANTI, _X_NEW, _X_SIGN = _axis_mult_table(_P1[1])
+_Z_ANTI, _Z_NEW, _Z_SIGN = _axis_mult_table(_P1[3])
+
+
+# ---------------------------------------------------------------------------
+# term-set primitives (jit)
+# ---------------------------------------------------------------------------
+def _get_bit(words, q):
+    return (words[:, q // 32] >> (q % 32)) & 1
+
+
+def _set_bit_val(words, q, val):
+    w = q // 32
+    mask = jnp.left_shift(jnp.uint32(1),
+                          jnp.asarray(q % 32, jnp.uint32))
+    cur = words[:, w]
+    new = jnp.where(val.astype(bool), cur | mask,
+                    cur & ~mask).astype(jnp.uint32)
+    return words.at[:, w].set(new)
+
+
+def local_code(x, z, q):
+    xb = _get_bit(x, q).astype(jnp.int32)
+    zb = _get_bit(z, q).astype(jnp.int32)
+    # (x,z): (0,0)→I=0, (1,0)→X=1, (1,1)→Y=2, (0,1)→Z=3
+    return jnp.where(xb == 1, jnp.where(zb == 1, 2, 1),
+                     jnp.where(zb == 1, 3, 0))
+
+
+def _write_code(x, z, q, code):
+    xb = ((code == 1) | (code == 2)).astype(jnp.uint32)
+    zb = ((code == 2) | (code == 3)).astype(jnp.uint32)
+    return _set_bit_val(x, q, xb), _set_bit_val(z, q, zb)
+
+
+@dataclasses.dataclass
+class TermSet:
+    """Fixed-capacity sparse Pauli sum: bit-words + coefficients."""
+
+    x: jnp.ndarray       # uint32[K, W]
+    z: jnp.ndarray       # uint32[K, W]
+    coeff: jnp.ndarray   # float32[K] (0 = empty slot)
+
+
+def conj_cx(ts: TermSet, a: int, b: int) -> TermSet:
+    code = 4 * local_code(ts.x, ts.z, a) + local_code(ts.x, ts.z, b)
+    new_code = jnp.asarray(_CX_CODES)[code]
+    sign = jnp.asarray(_CX_SIGNS)[code]
+    x, z = _write_code(ts.x, ts.z, a, new_code // 4)
+    x, z = _write_code(x, z, b, new_code % 4)
+    return TermSet(x, z, ts.coeff * sign)
+
+
+def damp_pauli_channel(ts: TermSet, a: int, b: int,
+                       f_local: jnp.ndarray) -> TermSet:
+    """Scale each term by the channel's damping factor f_local[16]
+    (indexed by the term's local code at (a, b))."""
+    code = 4 * local_code(ts.x, ts.z, a) + local_code(ts.x, ts.z, b)
+    return TermSet(ts.x, ts.z, ts.coeff * f_local[code])
+
+
+def _split(ts: TermSet, anti, new_sign, cos_t, sin_t,
+           write_codes, K: int) -> Tuple[TermSet, jnp.ndarray]:
+    """Generic rotation split + top-K compaction.
+
+    anti[K] bool; surviving branch coeff·cosθ (where anti) else coeff;
+    new branch coeff·sinθ·sign with codes written; keep top-K by |coeff|.
+    Returns (new TermSet, discarded weight).
+    """
+    keep_coeff = jnp.where(anti, ts.coeff * cos_t, ts.coeff)
+    new_coeff = jnp.where(anti, ts.coeff * sin_t * new_sign, 0.0)
+    x2, z2 = write_codes
+    x_all = jnp.concatenate([ts.x, x2])
+    z_all = jnp.concatenate([ts.z, z2])
+    c_all = jnp.concatenate([keep_coeff, new_coeff])
+    mag = jnp.abs(c_all)
+    _, idx = jax.lax.top_k(mag, K)
+    total = jnp.sum(mag)
+    kept = jnp.sum(mag[idx])
+    return (TermSet(x_all[idx], z_all[idx], c_all[idx]), total - kept)
+
+
+def rot_zz(ts: TermSet, a: int, b: int, theta, K: int):
+    """Conjugate through RZZ(θ) on (a,b): split anticommuting terms."""
+    code = 4 * local_code(ts.x, ts.z, a) + local_code(ts.x, ts.z, b)
+    anti = jnp.asarray(_ZZ_ANTI)[code]
+    nc = jnp.asarray(_ZZ_NEW)[code]
+    sgn = jnp.asarray(_ZZ_SIGN)[code]
+    x2, z2 = _write_code(ts.x, ts.z, a, nc // 4)
+    x2, z2 = _write_code(x2, z2, b, nc % 4)
+    return _split(ts, anti, sgn, jnp.cos(theta), jnp.sin(theta),
+                  (x2, z2), K)
+
+
+def rot_x(ts: TermSet, q: int, theta, K: int):
+    """Conjugate through RX(θ) on q."""
+    code = local_code(ts.x, ts.z, q)
+    anti = jnp.asarray(_X_ANTI)[code]
+    nc = jnp.asarray(_X_NEW)[code]
+    sgn = jnp.asarray(_X_SIGN)[code]
+    x2, z2 = _write_code(ts.x, ts.z, q, nc)
+    return _split(ts, anti, sgn, jnp.cos(theta), jnp.sin(theta),
+                  (x2, z2), K)
+
+
+def rot_z(ts: TermSet, q: int, theta, K: int):
+    """Conjugate through RZ(θ) on q."""
+    code = local_code(ts.x, ts.z, q)
+    anti = jnp.asarray(_Z_ANTI)[code]
+    nc = jnp.asarray(_Z_NEW)[code]
+    sgn = jnp.asarray(_Z_SIGN)[code]
+    x2, z2 = _write_code(ts.x, ts.z, q, nc)
+    return _split(ts, anti, sgn, jnp.cos(theta), jnp.sin(theta),
+                  (x2, z2), K)
+
+
+def expectation_zero_state(ts: TermSet) -> jnp.ndarray:
+    """⟨0…0|Σ c_i P_i|0…0⟩ = Σ of coefficients of X-free terms."""
+    x_free = jnp.all(ts.x == 0, axis=1)
+    return jnp.sum(jnp.where(x_free, ts.coeff, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# the kicked-Ising Heisenberg engine
+# ---------------------------------------------------------------------------
+class PauliPropagatorIsing:
+    """Noisy ⟨Z_q⟩ for the TFIM Trotter family at 100Q+ via Pauli
+    propagation with twirled device noise.
+
+    Noise (optional) damps terms at each physical CX site; ``noise_scale``
+    amplifies every damping exponent (the ZNE noise-factor knob: local
+    2q folding at factor nf applies each CX channel nf times → f^nf).
+    """
+
+    def __init__(self, device: DeviceModel, nq: int, steps: int,
+                 dt: float = 0.25, h: float = 1.0,
+                 max_terms: int = 4096,
+                 noise_model: Optional[NoiseModel] = None,
+                 noise: bool = True,
+                 readout: bool = True):
+        self.nq, self.steps, self.dt, self.h = nq, steps, dt, h
+        self.K = max_terms
+        self.W = (nq + 31) // 32
+        self.device = device
+        nm = (noise_model or NoiseModel.from_device(device)) if noise \
+            else None
+        self._nm = nm
+        from .trajectory import pauli_channel_probs
+
+        # commutation-sign table: w[P_code, Q_code] for damping factors
+        w = np.zeros((16, 16), np.float32)
+        for pc in range(16):
+            Pm = _code_mat(pc)
+            for qc in range(16):
+                Qm = _code_mat(qc)
+                w[pc, qc] = 1.0 if np.allclose(Pm @ Qm, Qm @ Pm) else -1.0
+        even = [(q, q + 1) for q in range(0, nq - 1, 2)]
+        odd = [(q, q + 1) for q in range(1, nq - 1, 2)]
+        self.bonds = even + odd
+        self._f_local: Dict[Tuple[int, int], np.ndarray] = {}
+        for (a, b) in self.bonds:
+            if nm is None:
+                self._f_local[(a, b)] = np.ones(16, np.float32)
+                continue
+            chan = nm.channel_for("cx", (a, b))
+            if chan is None:
+                self._f_local[(a, b)] = np.ones(16, np.float32)
+            else:
+                probs = pauli_channel_probs(chan).astype(np.float32)
+                self._f_local[(a, b)] = w @ probs   # f_P = Σ_q p_q·w(P,q)
+        self._readout = None
+        if readout and nm is not None and nm.readout is not None:
+            self._readout = nm.readout[:nq]
+        self._compiled: Dict[Tuple, object] = {}
+
+    def _initial_terms(self, qubit: int) -> TermSet:
+        x = jnp.zeros((self.K, self.W), jnp.uint32)
+        z = jnp.zeros((self.K, self.W), jnp.uint32)
+        z = z.at[0, qubit // 32].set(
+            jnp.asarray(np.uint32(1 << (qubit % 32))))
+        coeff = jnp.zeros((self.K,), jnp.float32).at[0].set(1.0)
+        return TermSet(x, z, coeff)
+
+    def _propagate(self, qubit: int, theta_j, theta_h, noise_scale):
+        """Backward propagation of Z_qubit through all Trotter steps.
+
+        Scans over bonds/qubits with traced indices so the compiled graph
+        size is independent of width and depth.
+        """
+        K = self.K
+        ts = self._initial_terms(qubit)
+        bonds_rev = jnp.asarray(self.bonds[::-1], jnp.int32)   # [nb, 2]
+        f_rev = jnp.stack([jnp.asarray(self._f_local[b])
+                           for b in self.bonds[::-1]])          # [nb, 16]
+
+        def bond_step(carry, inp):
+            x, z, c, disc = carry
+            ab, f16 = inp
+            a, b = ab[0], ab[1]
+            f = f16 ** noise_scale
+            ts = TermSet(x, z, c)
+            # forward: cx, rz(θ_j, b), cx with channel after each cx;
+            # backward: damp → cx-conj → rz split → cx-conj → damp
+            ts = damp_pauli_channel(ts, a, b, f)
+            ts = conj_cx(ts, a, b)
+            ts, d = rot_z(ts, b, theta_j, K)
+            ts = conj_cx(ts, a, b)
+            ts = damp_pauli_channel(ts, a, b, f)
+            return (ts.x, ts.z, ts.coeff, disc + d), None
+
+        def kick_step(carry, q):
+            x, z, c, disc = carry
+            ts, d = rot_x(TermSet(x, z, c), q, theta_h, K)
+            return (ts.x, ts.z, ts.coeff, disc + d), None
+
+        qubits_rev = jnp.arange(self.nq - 1, -1, -1, dtype=jnp.int32)
+
+        def trotter_step(carry, _):
+            carry, _ = jax.lax.scan(bond_step, carry, (bonds_rev, f_rev))
+            carry, _ = jax.lax.scan(kick_step, carry, qubits_rev)
+            return carry, None
+
+        init = (ts.x, ts.z, ts.coeff, jnp.float32(0.0))
+        (x, z, c, discarded), _ = jax.lax.scan(
+            trotter_step, init, None, length=self.steps)
+        val = expectation_zero_state(TermSet(x, z, c))
+        return val, discarded
+
+    def generate(self, J_values: np.ndarray, noise_scale: float = 1.0,
+                 qubits: Optional[Sequence[int]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """(values[B, len(qubits)], discarded_weight[B, len(qubits)]).
+
+        Noisy per-qubit ⟨Z_q⟩ (readout applied analytically:
+        z → (1-2p_q)·z for symmetric assignment error).
+        """
+        qubits = list(qubits) if qubits is not None else list(range(self.nq))
+        key = ("gen", len(qubits))
+        if key not in self._compiled:
+            def run(theta_j, theta_h, ns):
+                vals, errs = [], []
+                for q in qubits:
+                    v, d = self._propagate(q, theta_j, theta_h, ns)
+                    vals.append(v)
+                    errs.append(d)
+                return jnp.stack(vals), jnp.stack(errs)
+
+            self._compiled[key] = jax.jit(jax.vmap(
+                run, in_axes=(0, None, None)))
+        theta_j = jnp.asarray(-2.0 * self.dt *
+                              np.asarray(J_values, np.float32))
+        theta_h = jnp.float32(2.0 * self.h * self.dt)
+        vals, errs = self._compiled[key](theta_j, theta_h,
+                                         jnp.float32(noise_scale))
+        vals = np.asarray(vals)
+        if self._readout is not None:
+            p = np.array([self._readout[q][1, 0] + self._readout[q][0, 1]
+                          for q in qubits], np.float32) / 2.0
+            vals = vals * (1.0 - 2.0 * p)[None, :]
+        return vals, np.asarray(errs)

@@ -1,0 +1,94 @@
+"""Sparse Pauli propagation: exactness at small n, scaling to 100Q."""
+import numpy as np
+import pytest
+
+from mlqem_tpu.circuits.circuit import stack_circuits
+from mlqem_tpu.circuits.families import IsingModel, IsingOptions
+from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+from mlqem_tpu.device.registry import configurable_device, get_device
+from mlqem_tpu.ops.channels import depolarizing_channel
+from mlqem_tpu.ops.density import batch_density_matrices, dm_probabilities
+from mlqem_tpu.ops.pauli_prop import PauliPropagatorIsing
+from mlqem_tpu.ops.statevector import z_expectations
+
+DEV = get_device("fake_lima")
+
+
+def _dm_reference(nq, steps, dt, J_values, nm):
+    circs = [IsingModel.make_circs_sweep(
+        IsingOptions(nq=nq, h=1.0, J=float(j), dt=dt), steps, "Z",
+        measure=False) for j in J_values]
+    ct = stack_circuits(circs)
+    keys, table = compile_noise_table(ct, nm)
+    return np.asarray(z_expectations(
+        dm_probabilities(batch_density_matrices(ct, keys, table)), nq))
+
+
+def test_ideal_exact_small():
+    J = np.array([0.15, 0.4], np.float32)
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5, max_terms=2048,
+                              noise=False)
+    vals, errs = pp.generate(J)
+    ref = _dm_reference(4, 3, 0.5, J, NoiseModel(4))
+    np.testing.assert_allclose(vals, ref, atol=1e-4)
+    assert errs.max() < 1e-4  # no truncation needed at 4q
+
+
+def test_pauli_noise_exact_small():
+    J = np.array([0.15, 0.4], np.float32)
+    nm = NoiseModel(4).add_all_qubit_quantum_error(
+        depolarizing_channel(0.03, 2), "cx")
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5, max_terms=2048,
+                              noise_model=nm, readout=False)
+    vals, _ = pp.generate(J)
+    ref = _dm_reference(4, 3, 0.5, J, nm)
+    np.testing.assert_allclose(vals, ref, atol=1e-4)
+
+
+def test_noise_scale_damps_more():
+    J = np.array([0.3], np.float32)
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5, max_terms=2048,
+                              readout=False)
+    v1, _ = pp.generate(J, noise_scale=1.0)
+    v3, _ = pp.generate(J, noise_scale=3.0)
+    ideal, _ = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5,
+                                    max_terms=2048, noise=False).generate(J)
+    # amplified noise lands further from ideal in aggregate
+    d1 = np.sqrt(np.mean((v1 - ideal) ** 2))
+    d3 = np.sqrt(np.mean((v3 - ideal) ** 2))
+    assert d3 > d1 > 0
+
+
+def test_100q_runs_and_converges():
+    dev = configurable_device(100, seed=0)
+    J = np.array([0.15], np.float32)
+    pp1 = PauliPropagatorIsing(dev, nq=100, steps=2, dt=0.5,
+                               h=0.66 * np.pi, max_terms=1024)
+    pp2 = PauliPropagatorIsing(dev, nq=100, steps=2, dt=0.5,
+                               h=0.66 * np.pi, max_terms=4096)
+    v1, e1 = pp1.generate(J, qubits=[0, 50, 99])
+    v2, e2 = pp2.generate(J, qubits=[0, 50, 99])
+    assert np.all(np.abs(v2[0]) <= 1.0 + 1e-6)
+    # larger K → values converge
+    assert np.max(np.abs(v1 - v2)) < 0.02
+    assert e2.max() <= e1.max() + 1e-6
+
+
+def test_demo1_shape_small():
+    """demo1 pipeline at reduced scale: mimic beats noisy."""
+    from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
+
+    dev = configurable_device(12, seed=0)
+    out = demo1_zne_mimic_100q(device=dev, nq=12, num_steps=3,
+                               qubits=(0, 5, 11), max_terms=2048,
+                               n_estimators=30, seed=0)
+    assert out["rmse_mimic"] < out["rmse_noisy"]
+    assert out["rmse_zne"] < out["rmse_noisy"]
+
+
+def test_demo2_shape():
+    from mlqem_tpu.workflows.demos import demo2_ising_4q
+
+    out = demo2_ising_4q(num_steps=5, num_train=60, shots=None, seed=0)
+    assert out["rmse_mitigated"] < out["rmse_noisy"]
+    assert len(out["l2_per_step_noisy"]) == 6
