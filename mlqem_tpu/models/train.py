@@ -50,8 +50,8 @@ def load_checkpoint(path: str, template_variables):
 class PlateauScheduler:
     """Host-side ReduceLROnPlateau (torch semantics: factor, patience)."""
 
-    def __init__(self, factor: float = 0.1, patience: int = 10,
-                 min_lr: float = 1e-6):
+    def __init__(self, factor: float = 0.5, patience: int = 15,
+                 min_lr: float = 1e-5):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr

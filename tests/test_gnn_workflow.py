@@ -1,0 +1,29 @@
+"""GNN mitigation workflow + tomography sweep."""
+import numpy as np
+import pytest
+
+from mlqem_tpu.device.registry import get_device
+from mlqem_tpu.workflows.gnn_training import (tomography_sweep,
+                                              train_gnn_mbl,
+                                              train_gnn_mitigation)
+
+DEV = get_device("fake_lima")
+
+
+def test_gnn_mbl_beats_noisy():
+    out = train_gnn_mbl(DEV, num_circuits=350, num_epochs=120,
+                        dropout=0.1, seed=0)
+    assert out["rmse_mitigated"] < out["rmse_noisy"], out
+    assert min(out["history"]["val_loss"]) < out["history"]["val_loss"][0]
+
+
+def test_gnn_random_circuit_pipeline_runs():
+    out = train_gnn_mitigation(DEV, num_entries=60, num_epochs=10, seed=0)
+    assert np.isfinite(out["rmse_mitigated"])
+    assert out["pad_nodes"] > 0
+
+
+def test_tomography_sweep_improves_with_data():
+    rows = tomography_sweep(DEV, train_sizes=(16, 128), test_size=40,
+                            seed=3)
+    assert rows[1]["rmse_mitigated"] < rows[0]["rmse_mitigated"]
