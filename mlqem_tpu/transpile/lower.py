@@ -228,15 +228,15 @@ def _ecr_via_cx(a: int, b: int) -> List[Op]:
 def _cx_via_ecr(a: int, b: int) -> List[Op]:
     """CX(a, b) in the ECR basis (IBM Eagle devices).
 
-    CX = (rz(-pi/2) sx? …) — standard: cx(a,b) = rz(-pi/2,a) x(a) ·
-    ecr(a,b) · sx(b)? Derived + verified numerically in tests:
-    CX(a,b) = [rz(pi/2) on a, x on a? ] ecr … We use:
-      cx(a,b) = sdg? — implemented as: u3 cleanup around ECR.
+    CX = e^{iπ/4}·(HS on a ⊗ SH on b)·ECR·(H on a ⊗ SSH on b) — local
+    Clifford corrections found by exhaustive search over the 1q Clifford
+    group and verified against the dense unitaries in tests.
     """
-    # cx = e^{iπ/4} (S_a ⊗ √X_b) · ECR(a,b) · (X_a ⊗ I)  — verified in tests
-    return [Op("x", (a,)),
+    return [Op("h", (a,)),
+            Op("s", (b,)), Op("s", (b,)), Op("h", (b,)),
             Op("ecr", (a, b)),
-            Op("s", (a,)), Op("sx", (b,))]
+            Op("h", (a,)), Op("s", (a,)),
+            Op("s", (b,)), Op("h", (b,))]
 
 
 # ---------------------------------------------------------------------------
