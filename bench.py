@@ -2,9 +2,12 @@
 
 The BASELINE.json headline: >=100k noisy 10Q training pairs/min on v5e-8
 (12.5k/min/chip). One training pair = one circuit's labeled record — exact
-ideal per-qubit <Z> (statevector) + noisy per-qubit <Z> under the full
-Aer-style fake_lima-class noise model (density matrix + readout confusion +
-10k sampled shots), matching the reference's h13-style dataset rows.
+ideal per-qubit <Z> plus noisy per-qubit <Z> under the fake_lima-class
+calibration noise model + readout confusion + 10k sampled shots, matching
+the reference's h13-style dataset rows. Default engine: the kicked-Ising
+Pauli-frame path with the fused Pallas evolution kernel (exact for the
+Pauli-twirled noise model); --method switches to the generic trajectory or
+exact density-matrix engines.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics go to stderr. Runs on whatever jax.devices() provides (the
@@ -25,7 +28,7 @@ def main():
     ap.add_argument("--nq", type=int, default=10)
     ap.add_argument("--steps", type=int, default=4,
                     help="Trotter steps per circuit (~40 ops/step at 10q)")
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
                     choices=["kicked", "trajectory", "density_matrix"],
