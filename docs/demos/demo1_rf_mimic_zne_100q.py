@@ -1,0 +1,32 @@
+"""Demo 1 — RF mimics ZNE at 100 qubits (fully simulated).
+
+Reproduction of the reference's flagship demo
+(``demo1_rf_mimic_zne_100q_twirl.ipynb``), but with the 100Q noisy +
+noise-amplified expectation values produced by the sparse Pauli-propagation
+engine instead of IBM hardware. Prints the per-qubit and aggregate RMSE
+table (reference hardware numbers: noisy 0.0656 → mimic 0.0348, ~1.9x).
+
+Run: python docs/demos/demo1_rf_mimic_zne_100q.py   (~5-10 min on CPU)
+"""
+import numpy as np
+
+from mlqem_tpu.device.registry import configurable_device
+from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
+
+
+def main():
+    dev = configurable_device(100, seed=1)
+    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=6,
+                               max_terms=8192, seed=0)
+    print("qubits:", out["qubits"])
+    print(f"RMSE noisy : {out['rmse_noisy']:.5f}")
+    print(f"RMSE ZNE   : {out['rmse_zne']:.5f}")
+    print(f"RMSE mimic : {out['rmse_mimic']:.5f} "
+          f"({out['rmse_noisy'] / out['rmse_mimic']:.2f}x better than noisy)")
+    print("per-qubit noisy :", np.round(out["rmse_per_qubit_noisy"], 4))
+    print("per-qubit mimic :", np.round(out["rmse_per_qubit_mimic"], 4))
+    print("max truncation discard:", round(out["max_truncation_discard"], 4))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Tutorial 06 — multi-chip sharding.
+
+Run on CPU with a virtual mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python docs/tutorials/06_multichip_sharding.py
+"""
+import jax
+import numpy as np
+
+from mlqem_tpu.circuits.circuit import tensorize
+from mlqem_tpu.circuits.families import IsingModel, IsingOptions
+from mlqem_tpu.device.registry import get_device
+from mlqem_tpu.ops.sharded_sv import (sharded_statevector_fn,
+                                      sharded_z_expectations)
+from mlqem_tpu.parallel.datagen import IsingLabelPipeline
+from mlqem_tpu.parallel.mesh import make_mesh
+
+print("devices:", jax.devices())
+
+# data-parallel label generation: the batch axis rides the mesh
+mesh = make_mesh()
+dev = get_device("fake_lima")
+pipe = IsingLabelPipeline(dev, nq=4, steps=2, dt=0.5, shots=10000)
+ideal, noisy = pipe.generate(np.linspace(0.1, 0.5, 32), seed=0, mesh=mesh)
+print("dp-sharded labels:", ideal.shape)
+
+# amplitude-sharded statevector: the 2^n state spans devices (ppermute)
+sp_mesh = make_mesh(dp=len(jax.devices()) // 4, sp=4)
+ops = IsingOptions(nq=6, h=1.0, J=0.3, dt=0.5, depth=2)
+qc = IsingModel.make_circuit(ops, measure=False)
+fn = sharded_statevector_fn(qc, sp_mesh)
+psi = fn(tensorize(qc).params)
+print("sharded <Z_q>:", np.round(
+    sharded_z_expectations(psi, 6, sp_mesh), 4))
