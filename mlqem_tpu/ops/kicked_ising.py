@@ -81,6 +81,10 @@ class KickedIsingEngine:
     noise_model: Optional[NoiseModel] = None
     # None → auto (Pallas fused kernel on TPU, XLA butterflies elsewhere)
     use_pallas: Optional[bool] = None
+    # ZNE noise amplification: each CX channel applied noise_scale times
+    # (= local 2q folding at this noise factor). Composition of Pauli
+    # channels is f^k in the Walsh domain — computed analytically.
+    noise_scale: int = 1
 
     def __post_init__(self):
         if self.nq > 30:
@@ -110,6 +114,11 @@ class KickedIsingEngine:
             chan = nm.channel_for("cx", (a, b))
             p = (pauli_channel_probs(chan) if chan is not None
                  else np.eye(1, 16, 0)[0])
+            if self.noise_scale != 1:
+                from .trajectory import compose_pauli_channel
+
+                p = compose_pauli_channel(np.asarray(p, np.float64),
+                                          int(self.noise_scale))
             probs.append(p.astype(np.float32))
         self._bond_probs = np.stack(probs)          # [n_bonds, 16]
         ro = nm.readout[:self.nq] if (self.readout and nm.readout

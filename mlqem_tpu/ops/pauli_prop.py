@@ -308,15 +308,21 @@ class PauliPropagatorIsing:
             x, z, c, disc = carry
             ab, f16 = inp
             a, b = ab[0], ab[1]
-            f = f16 ** noise_scale
+            # sign-aware power: Pauli fidelities can be negative and the
+            # amplification exponent is a small integer (noise_scale is
+            # static), so (-f)^k keeps exact odd/even semantics
+            f = f16 ** noise_scale if isinstance(noise_scale, int) \
+                else jnp.sign(f16) ** noise_scale * jnp.abs(f16) ** noise_scale
             ts = TermSet(x, z, c)
-            # forward: cx, rz(θ_j, b), cx with channel after each cx;
-            # backward: damp → cx-conj → rz split → cx-conj → damp
-            ts = damp_pauli_channel(ts, a, b, f)
-            ts = conj_cx(ts, a, b)
-            ts, d = rot_z(ts, b, theta_j, K)
-            ts = conj_cx(ts, a, b)
-            ts = damp_pauli_channel(ts, a, b, f)
+            # forward: cx1 → noise1 → rz(θ_j, b) → cx2 → noise2; the
+            # backward (adjoint) order is the exact reverse — in particular
+            # noise1's damping applies to the observable as conjugated to
+            # its own site, i.e. BEFORE conjugating through cx1
+            ts = damp_pauli_channel(ts, a, b, f)      # noise2
+            ts = conj_cx(ts, a, b)                    # cx2
+            ts, d = rot_z(ts, b, theta_j, K)          # rz
+            ts = damp_pauli_channel(ts, a, b, f)      # noise1
+            ts = conj_cx(ts, a, b)                    # cx1
             return (ts.x, ts.z, ts.coeff, disc + d), None
 
         def kick_step(carry, q):
@@ -346,23 +352,25 @@ class PauliPropagatorIsing:
         z → (1-2p_q)·z for symmetric assignment error).
         """
         qubits = list(qubits) if qubits is not None else list(range(self.nq))
-        key = ("gen", len(qubits))
+        # noise_scale is a compile-time constant (integer amplification)
+        noise_scale = int(round(noise_scale))
+        key = ("gen", len(qubits), noise_scale)
         if key not in self._compiled:
-            def run(theta_j, theta_h, ns):
+            def run(theta_j, theta_h):
                 vals, errs = [], []
                 for q in qubits:
-                    v, d = self._propagate(q, theta_j, theta_h, ns)
+                    v, d = self._propagate(q, theta_j, theta_h,
+                                           noise_scale)
                     vals.append(v)
                     errs.append(d)
                 return jnp.stack(vals), jnp.stack(errs)
 
             self._compiled[key] = jax.jit(jax.vmap(
-                run, in_axes=(0, None, None)))
+                run, in_axes=(0, None)))
         theta_j = jnp.asarray(-2.0 * self.dt *
                               np.asarray(J_values, np.float32))
         theta_h = jnp.float32(2.0 * self.h * self.dt)
-        vals, errs = self._compiled[key](theta_j, theta_h,
-                                         jnp.float32(noise_scale))
+        vals, errs = self._compiled[key](theta_j, theta_h)
         vals = np.asarray(vals)
         if self._readout is not None:
             p = np.array([self._readout[q][1, 0] + self._readout[q][0, 1]

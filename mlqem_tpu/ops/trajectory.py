@@ -38,6 +38,45 @@ PAULI_4X4 = np.stack([np.kron(_P1[a], _P1[b])
     np.complex64)
 
 
+_WALSH: Optional[np.ndarray] = None
+
+
+def walsh_sign_matrix() -> np.ndarray:
+    """w[P, Q] = ±1 commutation signs over the 16 2q Paulis.
+
+    Pauli-channel composition is multiplication in this basis:
+    f = w @ p are the channel's Pauli fidelities, and applying the channel
+    k times gives probabilities p_k = (w @ f^k) / 16 (w·w = 16·I).
+    """
+    global _WALSH
+    if _WALSH is None:
+        w = np.zeros((16, 16), np.float32)
+
+        def masks(i):
+            a, b = divmod(i, 4)
+            return (a in (1, 2), a in (2, 3), b in (1, 2), b in (2, 3))
+
+        for qi in range(16):
+            xq = masks(qi)
+            for pi in range(16):
+                xp = masks(pi)
+                s = (xq[0] & xp[1]) ^ (xq[1] & xp[0]) \
+                    ^ (xq[2] & xp[3]) ^ (xq[3] & xp[2])
+                w[qi, pi] = -1.0 if s else 1.0
+        _WALSH = w
+    return _WALSH
+
+
+def compose_pauli_channel(probs: np.ndarray, k: int) -> np.ndarray:
+    """k-fold self-composition of a 2q Pauli channel (Walsh domain)."""
+    w = walsh_sign_matrix()
+    f = w @ probs
+    p = (w @ (f ** k)) / 16.0
+    p = np.clip(p, 0.0, None)
+    s = p.sum()
+    return p / s if s > 0 else p
+
+
 def pauli_channel_probs(channel: Channel) -> np.ndarray:
     """Pauli-twirled probabilities p[16] of a 2q channel.
 

@@ -92,3 +92,14 @@ def test_shot_sampling_converges():
     _, a = eng_exact.generate(J, seed=0)
     _, b = eng_shots.generate(J, seed=0)
     assert np.max(np.abs(a - b)) < 0.03
+
+
+def test_zne_sweep_20q():
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.workflows.zne_scale import zne_sweep_ising
+
+    dev20 = configurable_device(20, seed=0)
+    out = zne_sweep_ising(dev20, nq=20, steps=2,
+                          J_values=np.linspace(0.1, 0.5, 4),
+                          n_traj=48, shots=None, seed=0)
+    assert out["rmse_zne"] < out["rmse_noisy"]

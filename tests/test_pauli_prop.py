@@ -92,3 +92,31 @@ def test_demo2_shape():
     out = demo2_ising_4q(num_steps=5, num_train=60, shots=None, seed=0)
     assert out["rmse_mitigated"] < out["rmse_noisy"]
     assert len(out["l2_per_step_noisy"]) == 6
+
+
+def test_asymmetric_channel_adjoint_order():
+    """Regression: noise between the CX pair must damp the observable as
+    conjugated to its own site (caught by asymmetric channels — symmetric
+    depolarizing hides the ordering)."""
+    from mlqem_tpu.ops.channels import pauli_channel
+
+    nm = NoiseModel(2).add_all_qubit_quantum_error(
+        pauli_channel([("XI", 0.1), ("II", 0.9)]), "cx")
+    ref = _dm_reference(2, 1, 0.5, np.array([0.3], np.float32), nm)
+    pp = PauliPropagatorIsing(DEV, nq=2, steps=1, dt=0.5, max_terms=256,
+                              noise_model=nm, readout=False)
+    vals, _ = pp.generate(np.array([0.3], np.float32))
+    np.testing.assert_allclose(vals, ref, atol=1e-4)
+
+
+def test_noise_scale_consistent_with_kicked_engine():
+    from mlqem_tpu.ops.kicked_ising import KickedIsingEngine
+
+    J = np.array([0.3], np.float32)
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=2, dt=0.5, max_terms=2048,
+                              readout=False)
+    v3, _ = pp.generate(J, noise_scale=3)
+    eng3 = KickedIsingEngine(DEV, nq=4, steps=2, dt=0.5, n_traj=20000,
+                             shots=None, readout=False, noise_scale=3)
+    _, k3 = eng3.generate(J, seed=0)
+    assert np.max(np.abs(v3 - k3)) < 0.015
