@@ -69,6 +69,101 @@ class TransformerConvDense(nn.Module):
         return out * node_mask[..., None]
 
 
+class GCNConvDense(nn.Module):
+    """Dense GCN layer: out = D^{-1/2}(A+I)D^{-1/2} X W (Kipf–Welling)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        N = x.shape[1]
+        a = jnp.clip(adj + jnp.eye(N, dtype=adj.dtype)[None], 0.0, 1.0)
+        a = a * node_mask[:, None, :] * node_mask[:, :, None]
+        deg = jnp.clip(a.sum(-1), 1e-6, None)
+        dinv = jax.lax.rsqrt(deg)
+        a_norm = a * dinv[:, :, None] * dinv[:, None, :]
+        h = nn.Dense(self.channels)(x)
+        out = jnp.einsum("bij,bjc->bic", a_norm, h)
+        return out * node_mask[..., None]
+
+
+class ChebConvDense(nn.Module):
+    """Dense Chebyshev spectral conv of order K over the scaled Laplacian."""
+
+    channels: int
+    K: int = 3
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        N = x.shape[1]
+        a = adj * node_mask[:, None, :] * node_mask[:, :, None]
+        a = jnp.maximum(a, jnp.swapaxes(a, 1, 2))   # symmetrize
+        deg = jnp.clip(a.sum(-1), 1e-6, None)
+        dinv = jax.lax.rsqrt(deg)
+        lap = (jnp.eye(N, dtype=a.dtype)[None]
+               - a * dinv[:, :, None] * dinv[:, None, :])
+        # scaled: L̃ = L − I  (λ_max ≈ 2 normalization)
+        lt = lap - jnp.eye(N, dtype=a.dtype)[None]
+        tx_prev = x
+        tx = jnp.einsum("bij,bjc->bic", lt, x)
+        out = nn.Dense(self.channels)(tx_prev)
+        if self.K > 1:
+            out = out + nn.Dense(self.channels)(tx)
+        for _ in range(2, self.K):
+            tx_next = 2 * jnp.einsum("bij,bjc->bic", lt, tx) - tx_prev
+            tx_prev, tx = tx, tx_next
+            out = out + nn.Dense(self.channels)(tx)
+        return out * node_mask[..., None]
+
+
+class SAGEConvDense(nn.Module):
+    """Dense GraphSAGE (mean aggregator): W1 x + W2 · mean_{j∈N(i)} x_j."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, adj, node_mask):
+        a = adj * node_mask[:, None, :]
+        deg = jnp.clip(a.sum(-1, keepdims=True), 1.0, None)
+        neigh = jnp.einsum("bij,bjc->bic", a, x) / deg
+        out = nn.Dense(self.channels)(x) + nn.Dense(self.channels)(neigh)
+        return out * node_mask[..., None]
+
+
+class NgemEnsembleModel(nn.Module):
+    """The ``01_ngem`` ensemble: parallel GCN / Cheb / SAGE stacks pooled
+    and merged with the noisy expval, observable encoding, and depth."""
+
+    hidden_channels: int = 16
+    exp_value_size: int = 1
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, exp_value, observable, circuit_depth, x, adj,
+                 node_mask, train: bool = False):
+        B = x.shape[0]
+        mask_f = node_mask.astype(jnp.float32)
+        branches = []
+        for conv_cls, name in ((GCNConvDense, "gcn"),
+                               (ChebConvDense, "cheb"),
+                               (SAGEConvDense, "sage")):
+            h = conv_cls(self.hidden_channels, name=f"{name}1")(
+                x, adj, node_mask)
+            h = nn.relu(h)
+            h = conv_cls(self.hidden_channels, name=f"{name}2")(
+                h, adj, node_mask)
+            h = nn.relu(h)
+            branches.append(global_mean_pool(h, mask_f))
+        obs_flat = observable.reshape(B, -1)
+        merge = jnp.concatenate(
+            branches + [exp_value.reshape(B, -1), obs_flat,
+                        circuit_depth.reshape(B, 1)], axis=1)
+        h = nn.Dense(self.hidden_channels * 2)(merge)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.Dense(self.exp_value_size)(h)
+
+
 class LEConvDense(nn.Module):
     """Dense LEConv (ASAP's fitness scorer):
     out_i = W1 x_i + Σ_j A_ij (W2 x_i − W3 x_j)."""

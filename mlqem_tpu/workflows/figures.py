@@ -1,0 +1,110 @@
+"""Paper-figure reproduction (``docs/paper_figures/plot.ipynb`` parity).
+
+Generates the paper's figure shapes from freshly simulated result bundles:
+
+* :func:`figure_model_comparison` — per-model RMSE bars (fig. 3 shape).
+* :func:`figure_trotter_steps` — expectation values vs Trotter step for
+  noisy / mitigated / ideal (fig. 4 / demo2 shape).
+* :func:`figure_zne_mimicry` — noisy vs ZNE vs mimic scatter (fig. 6 /
+  demo1 shape).
+* :func:`figure_training_size_sweep` — accuracy vs training-set size
+  (tomography study shape).
+
+All return the matplotlib Figure and optionally save a PNG.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def figure_model_comparison(table: Dict[str, Dict],
+                            save_path: Optional[str] = None):
+    plt = _plt()
+    names = list(table)
+    noisy = [table[n]["rmse_noisy"] for n in names]
+    mit = [table[n]["rmse_mitigated"] for n in names]
+    x = np.arange(len(names))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(x - 0.2, noisy, width=0.4, label="unmitigated")
+    ax.bar(x + 0.2, mit, width=0.4, label="mitigated")
+    ax.set_xticks(x)
+    ax.set_xticklabels(names)
+    ax.set_ylabel("RMSE vs ideal")
+    ax.set_title("Mitigation model comparison")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
+def figure_trotter_steps(steps: Sequence[int], ideal: np.ndarray,
+                         noisy: np.ndarray, mitigated: np.ndarray,
+                         qubit: int = 0,
+                         save_path: Optional[str] = None):
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(steps, np.asarray(ideal)[:, qubit], "k-", label="ideal")
+    ax.plot(steps, np.asarray(noisy)[:, qubit], "o--", label="noisy")
+    ax.plot(steps, np.asarray(mitigated)[:, qubit], "s--",
+            label="mitigated")
+    ax.set_xlabel("Trotter steps")
+    ax.set_ylabel(rf"$\langle Z_{qubit} \rangle$")
+    ax.set_title("TFIM Trotter dynamics under mitigation")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
+def figure_zne_mimicry(ideal: np.ndarray, noisy: np.ndarray,
+                       zne: np.ndarray, mimic: np.ndarray,
+                       save_path: Optional[str] = None):
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    lims = [-1.05, 1.05]
+    ax.plot(lims, lims, "k-", lw=0.8)
+    for vals, label, marker in ((noisy, "noisy", "."),
+                                (zne, "ZNE", "x"),
+                                (mimic, "RF mimic", "+")):
+        ax.scatter(np.asarray(ideal).ravel(), np.asarray(vals).ravel(),
+                   s=14, marker=marker, label=label, alpha=0.7)
+    ax.set_xlabel("ideal expectation value")
+    ax.set_ylabel("estimated expectation value")
+    ax.set_title("ZNE mimicry")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig
+
+
+def figure_training_size_sweep(rows: Sequence[Dict],
+                               save_path: Optional[str] = None):
+    plt = _plt()
+    sizes = [r["train_size"] for r in rows]
+    mit = [r["rmse_mitigated"] for r in rows]
+    noisy = [r["rmse_noisy"] for r in rows]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(sizes, mit, "o-", base=2, label="mitigated")
+    ax.axhline(noisy[0], color="k", ls="--", label="noisy baseline")
+    ax.set_xlabel("training-set size")
+    ax.set_ylabel("RMSE vs ideal")
+    ax.set_title("Accuracy vs training data")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig

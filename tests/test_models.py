@@ -163,3 +163,22 @@ def test_plateau_scheduler():
     assert lr == 1.0
     lr = sch.step(1.2, lr)   # bad 2 > patience → reduce
     assert lr == 0.5
+
+
+def test_random_forest_sklearn_parity():
+    """Accuracy parity with sklearn's RandomForestRegressor on the same
+    task (the reference's model; BASELINE config #2)."""
+    sklearn = pytest.importorskip("sklearn.ensemble")
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-1, 1, size=(600, 8)).astype(np.float32)
+    y = (np.sin(2 * X[:, 0]) + 0.5 * X[:, 1] * X[:, 2]
+         + 0.1 * rng.normal(size=600)).astype(np.float32)
+    Xtr, ytr, Xte, yte = X[:480], y[:480], X[480:], y[480:]
+    ours = RandomForestRegressor(n_estimators=60, random_state=0)
+    ours.fit(Xtr, ytr)
+    rmse_ours = float(np.sqrt(np.mean((ours.predict(Xte) - yte) ** 2)))
+    ref = sklearn.RandomForestRegressor(n_estimators=60, random_state=0)
+    ref.fit(Xtr, ytr)
+    rmse_ref = float(np.sqrt(np.mean((ref.predict(Xte) - yte) ** 2)))
+    # within 15% of sklearn's error on held-out data
+    assert rmse_ours < rmse_ref * 1.15, (rmse_ours, rmse_ref)
