@@ -94,12 +94,14 @@ def test_shot_sampling_converges():
     assert np.max(np.abs(a - b)) < 0.03
 
 
-def test_zne_sweep_20q():
+def test_zne_sweep_wide():
+    """The 20Q ZNE+twirl baseline workflow (12q here to keep CPU CI fast;
+    the TPU path runs the full 20q config in docs/tutorials)."""
     from mlqem_tpu.device.registry import configurable_device
     from mlqem_tpu.workflows.zne_scale import zne_sweep_ising
 
-    dev20 = configurable_device(20, seed=0)
-    out = zne_sweep_ising(dev20, nq=20, steps=2,
+    dev12 = configurable_device(12, seed=0)
+    out = zne_sweep_ising(dev12, nq=12, steps=2,
                           J_values=np.linspace(0.1, 0.5, 4),
-                          n_traj=48, shots=None, seed=0)
+                          n_traj=256, shots=None, seed=0)
     assert out["rmse_zne"] < out["rmse_noisy"]
