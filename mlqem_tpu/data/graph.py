@@ -99,6 +99,56 @@ def circuit_to_graph_data_json(circuit: Circuit, properties: dict,
     return data
 
 
+def circuit_to_homogeneous_graph(circuit: Circuit,
+                                 gate_set=None) -> dict:
+    """Homogeneous graph encoding (``circuit_to_pyg_data`` parity,
+    ``data/utils.py:52-123``).
+
+    Node feature = [gate one-hot over the 26-name reference vocabulary +
+    (barrier, measure, delay)] ++ [affected-qubit indicator (num_qubits)]
+    ++ [3 params]. Wire edges between op nodes; edge_attr all-zero 1-dim.
+    For a 2q H+CX+measure_all circuit this gives x (5, 34), edge_index
+    (2, 5) — the reference test's golden shapes.
+    """
+    from ..circuits.gates import REFERENCE_VOCAB
+
+    gate_set = list(gate_set or REFERENCE_VOCAB) + ["barrier", "measure",
+                                                    "delay"]
+    # map our canonical names onto the reference vocabulary
+    aliases = {"p": "u1", "cp": "cu1"}
+    n = circuit.num_qubits
+    feats: List[List[float]] = []
+    qargs: List[Tuple[int, ...]] = []
+    for op in circuit.ops:
+        name = aliases.get(op.name, op.name)
+        if name not in gate_set:
+            continue
+        onehot = [0.0] * len(gate_set)
+        onehot[gate_set.index(name)] = 1.0
+        affected = [0.0] * n
+        for q in op.qubits:
+            affected[q] = 1.0
+        params = [0.0, 0.0, 0.0]
+        for i, p in enumerate(op.params[:3]):
+            params[i] = float(p)
+        feats.append(onehot + affected + params)
+        qargs.append(op.qubits)
+    last: List[Optional[int]] = [None] * n
+    src, dst = [], []
+    for idx, qubits in enumerate(qargs):
+        for q in qubits:
+            if last[q] is not None:
+                src.append(last[q])
+                dst.append(idx)
+            last[q] = idx
+    return {
+        "x": np.asarray(feats, dtype=np.float32),
+        "edge_index": np.asarray([src, dst], dtype=np.int64),
+        "edge_attr": np.zeros((1, len(src)), dtype=np.float32),
+        "circuit_depth": circuit.depth(),
+    }
+
+
 def num_node_features(properties: dict, use_gate_features: bool = True,
                       use_qubit_features: bool = True) -> int:
     base = 3 + len(properties["gates_set"]) + 2

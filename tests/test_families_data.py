@@ -279,3 +279,18 @@ def test_stabilizer_100q_scales():
         [generate_composed_clifford(20, 5, 2, seed=s) for s in range(3)],
         single_z(3, 100))
     assert vals.shape == (3,)
+
+
+def test_homogeneous_graph_golden_shapes():
+    """Reference golden shapes (tests/data/test_utils.py:13-25):
+    2q H+CX+measure_all → x (5, 34), edge_index (2, 5)."""
+    from mlqem_tpu.data.graph import circuit_to_homogeneous_graph
+
+    qc = Circuit(2).h(0).cx(0, 1).measure_all()
+    g = circuit_to_homogeneous_graph(qc)
+    assert g["x"].shape == (5, 34)
+    assert g["edge_index"].shape == (2, 5)
+    assert g["circuit_depth"] == qc.depth()
+    # first node is the H gate: one-hot at the 'h' vocabulary slot
+    from mlqem_tpu.circuits.gates import REFERENCE_VOCAB
+    assert g["x"][0, REFERENCE_VOCAB.index("h")] == 1.0
