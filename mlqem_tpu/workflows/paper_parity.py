@@ -1,0 +1,100 @@
+"""Paper-parity benchmark: the published single-Ising figure, re-run.
+
+The reference ships its paper-figure result bundles
+(``docs/paper_figures/{incoherent,coherent,no_readout}_single_ising.pk``)
+with per-model mitigated expectation values on a 30-circuit 4Q TFIM test
+set. Published RMSEs vs ideal (computed from those bundles):
+
+    setting      noisy   RF      MLP     OLS(full)  GNN     ZNE
+    incoherent   0.172   0.067   0.080   0.119      0.130   0.127
+    coherent     0.268   0.234   0.266   0.242      0.243   0.264
+    no_readout   0.151   0.060   0.090   0.120      0.128   0.116
+
+:func:`single_ising_parity` reproduces the experiment shape end-to-end on
+this framework's simulators (train on randomized (J, steps) Trotter
+circuits, test on a deeper step sweep, 10k shots) and reports our RMSE
+table next to the published anchors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..circuits.families import IsingOptions
+from ..device.model import DeviceModel
+from ..device.registry import get_device
+from ..metrics import rmse
+from ..models.forest import RandomForestRegressor
+from ..models.linear import LinearRegression
+from ..models.mlp import MLP1
+from .datasets import ising_dataset, ising_step_sweep
+from .mitigate import encode_dataset, zne_batch
+
+PUBLISHED = {
+    "incoherent": {"noisy": 0.172, "random_forest": 0.067, "mlp": 0.080,
+                   "ols": 0.119, "gnn": 0.130, "zne": 0.127},
+    "coherent": {"noisy": 0.268, "random_forest": 0.234, "mlp": 0.266,
+                 "ols": 0.242, "gnn": 0.243, "zne": 0.264},
+    "no_readout": {"noisy": 0.151, "random_forest": 0.060, "mlp": 0.090,
+                   "ols": 0.120, "gnn": 0.128, "zne": 0.116},
+}
+
+_SETTING_MAP = {"incoherent": "device", "coherent": "coherent",
+                "no_readout": "no_readout"}
+
+
+def single_ising_parity(setting: str = "incoherent",
+                        device: Optional[DeviceModel] = None,
+                        num_train: int = 200,
+                        max_steps: int = 30,
+                        num_test_steps: int = 30,
+                        shots: Optional[int] = 10000,
+                        mlp_epochs: int = 200,
+                        run_zne: bool = True,
+                        seed: int = 0) -> Dict:
+    """Re-run the single-Ising experiment; returns ours-vs-published RMSEs."""
+    device = device or get_device("fake_lima")
+    noise = _SETTING_MAP[setting]
+    ops = IsingOptions.config_4q_paper()
+    train = ising_dataset(device, options=ops, num_circuits=num_train,
+                          steps_range=(0, max_steps + 1), noise=noise,
+                          shots=shots, seed=seed)
+    test = ising_step_sweep(device, ops, num_test_steps, noise=noise,
+                            shots=shots, seed=seed + 1)
+    Xtr, ytr = encode_dataset(train, device)
+    Xte, yte = encode_dataset(test, device)
+
+    ours: Dict[str, float] = {"noisy": float(rmse(test.noisy, test.ideal))}
+
+    rf = RandomForestRegressor(n_estimators=300, random_state=seed)
+    rf.fit(Xtr, ytr)
+    ours["random_forest"] = float(rmse(rf.predict(Xte), yte))
+
+    ols = LinearRegression().fit(Xtr, ytr)
+    ours["ols"] = float(rmse(ols.predict(Xte), yte))
+
+    from ..models.train import mlp_inputs, predict, train_mlp
+
+    mlp = MLP1(hidden_size=64, output_size=4)
+    variables, _ = train_mlp(mlp, Xtr, ytr, num_epochs=mlp_epochs,
+                             batch_size=32, learning_rate=3e-3, seed=seed)
+    ours["mlp"] = float(rmse(predict(mlp, variables, mlp_inputs,
+                                     {"X": Xte}), yte))
+
+    if run_zne:
+        zne_vals = zne_batch(test, device, noise=noise, shots=shots,
+                             seed=seed + 2)
+        ours["zne"] = float(rmse(zne_vals, test.ideal))
+
+    return {
+        "setting": setting,
+        "ours": ours,
+        "published": PUBLISHED[setting],
+        "improvement_ours": {k: ours["noisy"] / v
+                             for k, v in ours.items() if k != "noisy"},
+        "improvement_published": {
+            k: PUBLISHED[setting]["noisy"] / v
+            for k, v in PUBLISHED[setting].items() if k != "noisy"},
+    }

@@ -138,3 +138,17 @@ def test_scalability_sweep():
     widths = {r["n_qubits"] for r in rows}
     assert 100 in widths
     assert all(r["circuits_per_sec"] > 0 for r in rows)
+
+
+def test_single_ising_parity_improvements():
+    """Our improvement factors land in the published bundle's family
+    (paper_figures/*_single_ising.pk: RF 2.6x, MLP 2.2x, ZNE 1.4x)."""
+    from mlqem_tpu.workflows.paper_parity import single_ising_parity
+
+    out = single_ising_parity("incoherent", num_train=120, max_steps=15,
+                              num_test_steps=15, mlp_epochs=80,
+                              run_zne=True, seed=0)
+    imp = out["improvement_ours"]
+    assert imp["random_forest"] > 1.5
+    assert imp["zne"] > 1.0
+    assert out["ours"]["random_forest"] < out["ours"]["noisy"]
