@@ -126,6 +126,17 @@ def vqe_mitigation_study(device: DeviceModel, operator: PauliSum,
     return out
 
 
+# Published anchors from the reference's stored VQE run
+# (docs/tutorials/results/vqe_h2.json, first four bond lengths): the
+# mitigated VQE recovers the ideal curve from heavily biased noisy values.
+PUBLISHED_H2 = {
+    "bond_lengths": [0.2, 0.4, 0.5, 0.67],
+    "ideal": [0.1749, -0.9123, -1.0265, -1.1174],
+    "noisy": [0.5749, -0.6049, -0.7741, -0.8850],
+    "mitigated": [0.1925, -0.9050, -1.0028, -1.1046],
+}
+
+
 def h2_dissociation_curve(device: DeviceModel,
                           bond_indices: Optional[Sequence[int]] = None,
                           samples_per_pauli: int = 80,
