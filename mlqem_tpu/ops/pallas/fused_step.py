@@ -7,11 +7,9 @@ reformulations used here:
   A = dim/128: two dense Hadamard matmuls (A×A over the block axis and
   128×128 over the lane axis). Both land on the MXU; XLA fuses to ~2
   passes instead of n.
-* :class:`fused trotter kernel` — one Pallas kernel applies
-  WHT → RX-phase → WHT → ZZ-phase with the state block resident in VMEM,
-  computing the per-trajectory diagonal phases in-kernel from the sign
-  vectors (small matmuls against constant ±1 bit/parity matrices). HBM
-  traffic per Trotter step drops from ~2(2n+2) to 2 state passes.
+* :func:`fused_trotter_step` — single-step fusion (interpret-validated;
+  its 3D dot_general does not compile through this image's Mosaic remote
+  compiler — the production multi-step kernel is ops/pallas/evolve.py).
 """
 from __future__ import annotations
 

@@ -1,13 +1,11 @@
 """Fused Walsh–Hadamard transform Pallas kernel.
 
-The kicked-Ising engine's hot op: H⊗n over the amplitude axis, applied
-twice per Trotter step. The XLA path runs n separate butterfly passes —
-n round trips to HBM per transform. This kernel keeps a block of states
-resident in VMEM and runs ALL n passes in one shot: HBM traffic drops from
-2n·bytes to 2·bytes per transform.
-
-Complex states ride as separate real/imag float32 planes (Mosaic's complex
-support is limited); each grid step owns a [block_rows, dim] tile.
+STATUS: validated in interpret mode; the butterfly reshapes do NOT compile
+through this image's Mosaic remote-compiler (lane-splitting reshapes).
+The PRODUCTION fused kernel is ops/pallas/evolve.py, which reformulates the
+WHT as dense Hadamard matmuls (2D refs + jnp.dot only) and fuses the whole
+multi-step evolution. This file is kept as the butterfly formulation for
+platforms whose Mosaic supports it.
 """
 from __future__ import annotations
 
