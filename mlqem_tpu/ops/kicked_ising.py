@@ -265,7 +265,7 @@ class KickedIsingEngine:
         return jnp.real(state * jnp.conj(state))
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _build(self, mesh=None):
         nq, B_traj = self.nq, self.n_traj
         theta_h = 2.0 * self.h * self.dt
         confusion = self._confusion
@@ -307,12 +307,22 @@ class KickedIsingEngine:
             ideal = probs_i @ (-bit_pm)
             return ideal, noisy
 
-        return jax.jit(run)
+        if mesh is None:
+            return jax.jit(run)
+        # multi-chip: shard the circuit batch over the mesh's dp axis —
+        # embarrassingly parallel, XLA partitions the whole pipeline
+        from ..parallel.mesh import batch_sharding, replicated
 
-    def generate(self, J_values: np.ndarray, seed: int = 0
+        return jax.jit(run,
+                       in_shardings=(batch_sharding(mesh),
+                                     replicated(mesh)),
+                       out_shardings=(batch_sharding(mesh),
+                                      batch_sharding(mesh)))
+
+    def generate(self, J_values: np.ndarray, seed: int = 0, mesh=None
                  ) -> Tuple[np.ndarray, np.ndarray]:
         if self._compiled is None:
-            self._compiled = self._build()
+            self._compiled = self._build(mesh)
         ideal, noisy = self._compiled(
             jnp.asarray(np.asarray(J_values, np.float32)), prng_key(seed))
         return np.asarray(ideal), np.asarray(noisy)
