@@ -1,0 +1,83 @@
+"""Static-structure density-matrix engine (template batches).
+
+For shared-topology circuit batches (the template pipelines) every op's
+qubit pair is static, so the 16×16 superoperator applies with pure
+reshape/einsum — the density matrix's row and column target bits become
+explicit size-2 axes and the contraction is one batched matmul per op, with
+no dynamic gathers. This accelerates the *exactness* path (the generic
+engine in :mod:`mlqem_tpu.ops.density` stays for heterogeneous batches).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuits.circuit import CircuitTensor
+from .static_sv import static_pairs
+from .unitaries import COMPLEX_DTYPE, op_unitaries
+
+_PERM_SWAP = np.array([0, 2, 1, 3])
+
+
+def _perm_16(swap_row: bool) -> np.ndarray:
+    """Permutation of the 16 superop indices when (a > b) ordering flips."""
+    if not swap_row:
+        return np.arange(16)
+    # k = 4p + q with p, q ∈ {0..3}: permute p and q by [0,2,1,3]
+    out = np.zeros(16, np.int64)
+    for p in range(4):
+        for q in range(4):
+            out[4 * p + q] = 4 * _PERM_SWAP[p] + _PERM_SWAP[q]
+    return out
+
+
+def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
+                         n: int) -> jnp.ndarray:
+    """Apply a 16×16 superop at STATIC qubits (a, b) to dm[..., 2^n, 2^n].
+
+    s16 may carry leading batch dims broadcasting with dm's.
+    """
+    lo, hi = (a, b) if a < b else (b, a)
+    if a < b:
+        perm = jnp.asarray(_perm_16(True))
+        s16 = s16[..., perm, :][..., :, perm]
+    H = 2 ** (n - 1 - hi)
+    M = 2 ** (hi - lo - 1)
+    L = 2 ** lo
+    batch = dm.shape[:-2]
+    dim = 2 ** n
+    view = dm.reshape(batch + (H, 2, M, 2, L, H, 2, M, 2, L))
+    s8 = s16.reshape(s16.shape[:-2] + (2, 2, 2, 2, 2, 2, 2, 2))
+    # out indices: (A,B) row bits, (C,D) col bits; in: (a,b,c,d)
+    new = jnp.einsum("...ABCDabcd,...HaMbLIcJdK->...HAMBLICJDK", s8, view)
+    return new.reshape(batch + (dim, dim))
+
+
+def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
+                       key_ids: np.ndarray, noise_table: np.ndarray,
+                       dtype=COMPLEX_DTYPE) -> jnp.ndarray:
+    """Noisy density matrices for a template batch: params [B, L, 3].
+
+    key_ids/noise_table as produced by ``compile_noise_table`` on the
+    template (shared across the batch). Returns dm [B, 2^n, 2^n].
+    """
+    n = max(ct_struct.num_qubits, 2)
+    pairs = static_pairs(ct_struct)
+    keys = np.asarray(key_ids).reshape(-1)
+    table = np.asarray(noise_table, np.complex64)
+    B = params.shape[0]
+    gate_ids = jnp.asarray(ct_struct.gate_ids)
+    mats = jax.vmap(lambda p: op_unitaries(gate_ids, p, dtype))(params)
+    dim = 2 ** n
+    dm = jnp.zeros((B, dim, dim), dtype).at[:, 0, 0].set(1.0)
+    for l, (a, b) in enumerate(pairs):
+        u = mats[:, l]                                   # [B, 4, 4]
+        s_gate = jnp.einsum("bpa,bqc->bpqac", u,
+                            jnp.conj(u)).reshape(B, 16, 16)
+        s_noise = jnp.asarray(table[keys[l]])            # [16, 16] const
+        s16 = jnp.einsum("ij,bjk->bik", s_noise, s_gate)
+        dm = apply_superop_static(dm, s16, a, b, n)
+    return dm

@@ -143,15 +143,12 @@ class IsingLabelPipeline:
                     noisy = jnp.mean(z_sampled, axis=1)
                 return ideal, noisy
 
-            def one_noisy(params):
-                cti = CircuitTensor(ct.gate_ids, ct.qubits, params, nq)
-                dm = run_density(cti, keys, table)
-                probs = dm_probabilities(dm)
-                if confusion is not None:
-                    probs = apply_readout_confusion(probs, confusion, nq)
-                return probs
+            from ..ops.density_static import run_density_static
 
-            probs = jax.vmap(one_noisy)(ct.params)
+            dms = run_density_static(ct_struct, ct.params, keys, table)
+            probs = dm_probabilities(dms)
+            if confusion is not None:
+                probs = apply_readout_confusion(probs, confusion, nq)
             if shots is None:
                 noisy = z_expectations(probs, nq)
             else:
