@@ -34,7 +34,12 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          J_train: Sequence[float] = None,
                          J_test: Sequence[float] = None,
                          qubits: Sequence[int] = (0, 24, 49, 74, 99),
-                         h: float = 0.66 * np.pi,
+                         # demo1's verifiable config: Clifford kick
+                         # (config_100q_paper_Clifford, h = 0.5π) — the
+                         # RX(π/2) layer is Clifford so Pauli propagation
+                         # splits only at the small-angle rz's and the
+                         # ideal reference converges tightly
+                         h: float = 0.5 * np.pi,
                          dt: float = 0.5,
                          max_terms: int = 8192,
                          noise_factors=(1.0, 3.0),
