@@ -40,6 +40,7 @@ from .mitigation.zne import (LinearExtrapolator, PolynomialExtrapolator,
 from .primitives.estimator import (BaseEstimator, CountsBackend,
                                    EstimatorResult, IdealEstimator, Job,
                                    NoisyEstimator)
+from .primitives.trajectory_estimator import TrajectoryEstimator
 
 __version__ = "0.1.0"
 
@@ -59,5 +60,5 @@ __all__ = [
     "LinearExtrapolator", "PolynomialExtrapolator", "RichardsonExtrapolator",
     "ZNEEstimator", "ZNEStrategy", "zne",
     "BaseEstimator", "CountsBackend", "EstimatorResult", "IdealEstimator",
-    "Job", "NoisyEstimator",
+    "Job", "NoisyEstimator", "TrajectoryEstimator",
 ]
