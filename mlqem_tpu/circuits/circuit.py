@@ -197,6 +197,12 @@ class Circuit:
             qc.ops.append(Op(name, tuple(qubits), tuple(params)))
         return qc
 
+    def draw(self, max_width: int = 120) -> str:
+        """ASCII rendering (qiskit ``draw('text')`` usability parity)."""
+        from .drawing import draw
+
+        return draw(self, max_width)
+
     def __repr__(self):
         return (f"<Circuit n={self.num_qubits} ops={len(self.ops)} "
                 f"depth={self.depth()}>")

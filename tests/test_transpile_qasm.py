@@ -84,3 +84,12 @@ measure q[1] -> meas[1];
 def test_qasm_rejects_bad_expression():
     with pytest.raises(ValueError):
         from_qasm('OPENQASM 2.0;\nqreg q[1];\nrz(__import__) q[0];')
+
+
+def test_circuit_draw():
+    qc = Circuit(3).h(0).cx(0, 1).rz(0.5, 1).cz(1, 2).barrier()
+    qc.measure_all()
+    text = qc.draw()
+    assert "q0:" in text and "q2:" in text
+    assert "H" in text and "RZ(0.50)" in text and "M" in text
+    assert len(text.split("\n")) == 3
