@@ -60,9 +60,6 @@ CLIFFORD_GATES = frozenset(_CLIFFORD_DECOMP)
 
 # Clifford rotation angles (multiples of π/2) for rz/rx/p — used so Trotter
 # circuits at Clifford parameter points (h = 0.5π presets) can run at 100q+.
-_EPS = 1e-9
-
-
 def _try_angle_decomp(name: str, params) -> Optional[List]:
     """Decompose rz/p/rx/ry at multiples of π/2 into Clifford primitives."""
     if name not in ("rz", "p", "rx", "ry"):

@@ -131,7 +131,6 @@ def op_unitaries(gate_ids: jnp.ndarray, params: jnp.ndarray,
 
     # ---- assemble by one-hot selection --------------------------------------
     eye4 = jnp.broadcast_to(c(np.eye(4)), (L, 4, 4))
-    mats = eye4  # nop / id / structural default to identity
 
     def sel(name, mat4):
         return jnp.where(
