@@ -204,11 +204,13 @@ def gate_unitary(name: str, params=()) -> np.ndarray:
         out[1, 2] = out[2, 1] = -s
         return out
     if name == "ecr":
-        # qiskit ECRGate: 1/sqrt(2) (IX - XY) in little-endian qargs (q0, q1).
-        # In our (a=MSB=first operand) convention this is (X on b ⊗ I on a
-        # term): ecr = (X⊗I ... ) — build from the definition on (a,b):
-        # ECR = 1/sqrt(2) (I_a X_b - X_a Y_b)
-        return (np.kron(_I2, _X) - np.kron(_X, _Y)) / np.sqrt(2)
+        # qiskit ECRGate: 1/sqrt(2) (IX - XY) in qiskit's little-endian label
+        # order, where the label's RIGHTMOST letter acts on the FIRST qarg.
+        # So ECR(a, b) puts X (resp. Y) on a and I (resp. X) on b. In our
+        # a=MSB kron convention: ECR = 1/sqrt(2) (X_a⊗I_b - Y_a⊗X_b), equal
+        # to rzx(pi/4)·x(a)·rzx(-pi/4) (cross-checked against the stabilizer
+        # and transpiler decompositions in tests/test_transpile_qasm.py).
+        return (np.kron(_X, _I2) - np.kron(_Y, _X)) / np.sqrt(2)
     if name == "cu3":
         return _controlled(_u3(t, f, l))
     raise ValueError(f"unknown gate {name!r}")

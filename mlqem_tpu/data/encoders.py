@@ -34,9 +34,11 @@ def recursive_dict_loop(my_dict, parent_key=None, out=None,
     """Collect leaf values where the parent key contains ``target_key1`` and
     the leaf key equals ``target_key2``.
 
-    Exact behavioral parity with ``mlp.py:136-145`` — including the quirk
-    that substring matching makes the 'x' gate-error average include *cx and
-    sx* errors as well.
+    Exact behavioral parity with ``mlp.py:136-145`` — including two quirks:
+    substring matching makes the 'x' gate-error average include *cx and sx*
+    errors as well, and the truthiness test on ``parent_key`` silently drops
+    leaves under the integer key 0, so qubit 0's t1/t2/readout_error never
+    enter the device-stat averages.
     """
     if out is None:
         out = []
@@ -44,7 +46,7 @@ def recursive_dict_loop(my_dict, parent_key=None, out=None,
         if isinstance(val, dict):
             recursive_dict_loop(val, key, out, target_key1, target_key2)
         else:
-            if parent_key is not None and target_key1 in str(parent_key) \
+            if parent_key and target_key1 in str(parent_key) \
                     and key == target_key2:
                 out += [val]
     return out or 0.0

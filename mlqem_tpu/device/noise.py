@@ -31,6 +31,9 @@ from .model import DeviceModel
 
 _2Q_GATES = {g for g, n in GATE_NUM_QUBITS.items() if n == 2}
 
+_SWAP = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                  [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.complex128)
+
 
 class NoiseModel:
     """Maps (gate, qubits) → :class:`Channel`, plus readout confusion."""
@@ -68,7 +71,14 @@ class NoiseModel:
                     ) -> Optional[Channel]:
         ch = self.local_channels.get((gate, qubits))
         if ch is None and len(qubits) == 2:
-            ch = self.local_channels.get((gate, qubits[::-1]))
+            rev = self.local_channels.get((gate, qubits[::-1]))
+            if rev is not None:
+                # The stored channel's local tensor slots are laid out for
+                # the opposite qubit order — conjugate each Kraus operator
+                # by SWAP so direction-sensitive channels (coherent CX
+                # over-rotation, asymmetric per-qubit relaxation) act on the
+                # right qubits.
+                ch = Channel([_SWAP @ k @ _SWAP for k in rev.kraus])
         if ch is None:
             ch = self.default_channels.get(gate)
         return ch

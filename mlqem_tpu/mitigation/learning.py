@@ -190,8 +190,11 @@ class PostProcessedJob(Job):
             bound = circuit
             if circuit_parameters(circuit):
                 bound = bind_parameters(circuit, list(params))
-            if not self._skip_transpile and self._backend is not None:
-                bound = transpile(bound, basis=self._backend.basis_gates)
+            # Lowering to the device basis happens in exactly one place: the
+            # processor (its own skip_transpile flag). The reference lowers
+            # both here (opt=3) and in the processor (opt=0) — redundant
+            # work that also double-routes the circuit, so gate-count
+            # features came from a twice-routed circuit.
             mitigated.append(self._processor.process(
                 expectation_value=value, circuits=bound, observables=obs,
                 parameter_values=params))

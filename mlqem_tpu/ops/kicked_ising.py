@@ -135,7 +135,7 @@ class KickedIsingEngine:
             pars.append(self._bit_pm[:, a] * self._bit_pm[:, b])
         self._bond_par = np.stack(pars, axis=1)     # [dim, n_bonds] ±1
         self._n_even = len(even)
-        self._compiled = None
+        self._compiled = {}  # mesh (or None) -> jitted program
 
     # ------------------------------------------------------------------
     # pass A: Pauli-frame propagation → per-rotation angle signs
@@ -321,8 +321,11 @@ class KickedIsingEngine:
 
     def generate(self, J_values: np.ndarray, seed: int = 0, mesh=None
                  ) -> Tuple[np.ndarray, np.ndarray]:
-        if self._compiled is None:
-            self._compiled = self._build(mesh)
-        ideal, noisy = self._compiled(
+        # Compiled programs are keyed on the mesh: a warm-up call without a
+        # mesh must not pin later sharded calls to the unsharded program.
+        fn = self._compiled.get(mesh)
+        if fn is None:
+            fn = self._compiled[mesh] = self._build(mesh)
+        ideal, noisy = fn(
             jnp.asarray(np.asarray(J_values, np.float32)), prng_key(seed))
         return np.asarray(ideal), np.asarray(noisy)

@@ -102,8 +102,10 @@ def op_unitaries(gate_ids: jnp.ndarray, params: jnp.ndarray,
                         [np.zeros((2, 2)), const1q["h"]]]),
         "swap": np.array([[1, 0, 0, 0], [0, 0, 1, 0],
                           [0, 1, 0, 0], [0, 0, 0, 1]]),
-        "ecr": (np.kron(np.eye(2), const1q["x"])
-                - np.kron(const1q["x"], const1q["y"])) / np.sqrt(2),
+        # ECR(a,b) in a=MSB convention: (X_a⊗I_b - Y_a⊗X_b)/sqrt(2); must
+        # match circuits/gates.py:gate_unitary("ecr").
+        "ecr": (np.kron(const1q["x"], np.eye(2))
+                - np.kron(const1q["y"], const1q["x"])) / np.sqrt(2),
     }
 
     crz = _controlled(rz)

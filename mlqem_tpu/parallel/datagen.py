@@ -88,7 +88,7 @@ class IsingLabelPipeline:
             from ..ops.trajectory import twirled_noise_tables
 
             self._pauli_probs = twirled_noise_tables(ct0, nm)  # [L, 16]
-        self._compiled = None
+        self._compiled = {}  # mesh (or None) -> jitted program
 
     def _build(self, mesh=None):
         template = self.template
@@ -172,8 +172,11 @@ class IsingLabelPipeline:
                  = None, seed: int = 0, mesh=None
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """(ideal[B, nq], noisy[B, nq]) for a batch of Hamiltonian params."""
-        if self._compiled is None:
-            self._compiled = self._build(mesh)
+        # Keyed on the mesh so an unsharded warm-up call cannot pin later
+        # sharded calls to the wrong program (and vice versa).
+        fn = self._compiled.get(mesh)
+        if fn is None:
+            fn = self._compiled[mesh] = self._build(mesh)
         J_values = np.asarray(J_values, np.float32)
         names = [p.name for p in self.template.parameters]
         cols = []
@@ -186,5 +189,5 @@ class IsingLabelPipeline:
                 cols.append(np.asarray(h_values, np.float32))
         params = np.stack(cols, axis=-1)
         key = prng_key(seed)
-        ideal, noisy = self._compiled(jnp.asarray(params), key)
+        ideal, noisy = fn(jnp.asarray(params), key)
         return np.asarray(ideal), np.asarray(noisy)

@@ -203,11 +203,6 @@ def _lower_2q_to_cx(op: Op) -> List[Op]:
                Op("rz", (b,), ((l - f) / 2,))]
         )
     if n == "ecr":
-        # ecr = (X_a ⊗ I) · rzx(pi/4) after rzx(-pi/4)… use unitary-equivalent
-        # cx-based construction: ECR = (I⊗X)·CX-like; verified numerically in
-        # tests via direct matrix comparison:
-        # ECR(a,b) up to global phase = X(a) · S(a)† … — we synthesize from
-        # rzx: ECR = rzx(pi/4) X_a rzx(-pi/4), rzx(t) = h(b) cx? keep simple:
         return _ecr_via_cx(a, b)
     raise ValueError(f"cannot lower 2q op {n}")
 
@@ -228,15 +223,13 @@ def _ecr_via_cx(a: int, b: int) -> List[Op]:
 def _cx_via_ecr(a: int, b: int) -> List[Op]:
     """CX(a, b) in the ECR basis (IBM Eagle devices).
 
-    CX = e^{iπ/4}·(HS on a ⊗ SH on b)·ECR·(H on a ⊗ SSH on b) — local
+    CX = (Y on a ⊗ I)·ECR·(S on a ⊗ SX† on b) up to global phase — local
     Clifford corrections found by exhaustive search over the 1q Clifford
     group and verified against the dense unitaries in tests.
     """
-    return [Op("h", (a,)),
-            Op("s", (b,)), Op("s", (b,)), Op("h", (b,)),
+    return [Op("s", (a,)), Op("sxdg", (b,)),
             Op("ecr", (a, b)),
-            Op("h", (a,)), Op("s", (a,)),
-            Op("s", (b,)), Op("h", (b,))]
+            Op("y", (a,))]
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,50 @@ def test_encode_data_shape_58():
     np.testing.assert_allclose(y[0], [1, -1, 1, -1])
 
 
+def test_device_stat_vector_excludes_qubit0():
+    """Reference parity: ``if parent_key`` is falsy for the int key 0, so
+    qubit 0's t1/t2/readout_error are EXCLUDED from the device-stat averages
+    (``mlp.py:143`` truthiness quirk). Values hand-computed from a synthetic
+    snapshot including qubit 0."""
+    from mlqem_tpu.data.encoders import device_stat_vector
+
+    props = {
+        "name": "synthetic",
+        "gates_set": ["cx", "id", "rz", "sx", "x"],
+        "num_qubits": 3,
+        "qubits_props": {
+            0: {"index": 0, "t1": 10.0, "t2": 20.0, "readout_error": 0.5},
+            1: {"index": 1, "t1": 100.0, "t2": 200.0, "readout_error": 0.01},
+            2: {"index": 2, "t1": 300.0, "t2": 400.0, "readout_error": 0.03},
+        },
+        "gate_props": {
+            "cx0_1": {"index": "cx0_1", "gate_error": 0.010,
+                      "gate_length": 300.0},
+            "cx1_2": {"index": "cx1_2", "gate_error": 0.030,
+                      "gate_length": 300.0},
+            "id0": {"index": "id0", "gate_error": 0.0002,
+                    "gate_length": 35.0},
+            "sx1": {"index": "sx1", "gate_error": 0.0004,
+                    "gate_length": 35.0},
+            "x2": {"index": "x2", "gate_error": 0.0008, "gate_length": 35.0},
+            "rz0": {"index": "rz0", "gate_error": 0.0, "gate_length": 0.0},
+        },
+    }
+    vec = device_stat_vector(props)
+    # substring quirk: 'x' average includes cx0_1, cx1_2, sx1, x2
+    want = np.array([
+        np.mean([0.010, 0.030]),                     # cx
+        0.0002,                                      # id
+        0.0004,                                      # sx
+        np.mean([0.010, 0.030, 0.0004, 0.0008]),     # x (substring quirk)
+        0.0,                                         # rz
+        np.mean([0.01, 0.03]),                       # readout, NO qubit 0
+        np.mean([100.0, 300.0]),                     # t1, NO qubit 0
+        np.mean([200.0, 400.0]),                     # t2, NO qubit 0
+    ]) * 100.0
+    np.testing.assert_allclose(vec, want, rtol=1e-6)
+
+
 def test_encode_data_with_meas_basis():
     dev = get_device("fake_lima")
     props = dev.properties()

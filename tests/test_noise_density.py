@@ -179,3 +179,23 @@ def test_device_registry_and_properties():
     sher = get_device("fake_sherbrooke")
     assert sher.num_qubits == 127
     assert "ecr" in sher.basis_gates
+
+
+def test_channel_for_reversed_order_swaps_slots():
+    """Asymmetric 2q channels fetched via the reversed-qubit fallback must
+    have their local tensor slots exchanged (SWAP conjugation)."""
+    from mlqem_tpu.device.noise import NoiseModel
+    from mlqem_tpu.ops.channels import Channel, amplitude_damping_channel
+
+    # damping only on the SECOND local slot of (0, 1)
+    ad = amplitude_damping_channel(0.3)
+    asym = Channel([np.kron(np.eye(2), k) for k in ad.kraus])
+    nm = NoiseModel(2).add_quantum_error(asym, "cx", (0, 1))
+
+    direct = nm.channel_for("cx", (0, 1))
+    assert direct is asym
+
+    rev = nm.channel_for("cx", (1, 0))
+    # In the reversed orientation the damped qubit is the FIRST local slot.
+    want = Channel([np.kron(k, np.eye(2)) for k in ad.kraus])
+    np.testing.assert_allclose(rev.superop(), want.superop(), atol=1e-12)

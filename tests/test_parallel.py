@@ -39,6 +39,34 @@ def test_datagen_pipeline_sharded_matches_unsharded():
     assert np.mean(np.abs(noisy1)) < np.mean(np.abs(ideal1)) + 1e-9
 
 
+def test_compile_cache_keyed_on_mesh():
+    """Warming up WITHOUT a mesh must not pin later sharded calls to the
+    unsharded program (and vice versa) — regression for a mesh-blind cache.
+    Checked for both engines that cache compiled programs."""
+    from mlqem_tpu.ops.kicked_ising import KickedIsingEngine
+
+    dev = get_device("fake_lima")
+    J = np.linspace(0.1, 0.5, 16)
+    mesh = make_mesh()
+
+    # pipeline: unsharded first, then sharded (the bug's trigger order)
+    pipe = IsingLabelPipeline(dev, nq=4, steps=2, shots=None, dt=0.5)
+    i0, n0 = pipe.generate(J, seed=0)
+    i1, n1 = pipe.generate(J, seed=0, mesh=mesh)
+    np.testing.assert_allclose(i0, i1, atol=1e-5)
+    np.testing.assert_allclose(n0, n1, atol=1e-5)
+    assert set(pipe._compiled) == {None, mesh}
+
+    # kicked engine: sharded first, then unsharded
+    eng = KickedIsingEngine(dev, nq=4, steps=2, dt=0.5, n_traj=16,
+                            shots=None, use_pallas=False)
+    i2, n2 = eng.generate(J, seed=0, mesh=mesh)
+    i3, n3 = eng.generate(J, seed=0)
+    np.testing.assert_allclose(i2, i3, atol=1e-5)
+    np.testing.assert_allclose(n2, n3, atol=1e-5)
+    assert set(eng._compiled) == {None, mesh}
+
+
 @pytest.mark.parametrize("sp", [2, 4, 8])
 def test_sharded_statevector_matches_single(sp):
     mesh = make_mesh(dp=len(jax.devices()) // sp, sp=sp)

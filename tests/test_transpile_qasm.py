@@ -93,3 +93,63 @@ def test_circuit_draw():
     assert "q0:" in text and "q2:" in text
     assert "H" in text and "RZ(0.50)" in text and "M" in text
     assert len(text.split("\n")) == 3
+
+
+def test_ecr_cross_engine_consistency():
+    """Dense ECR == qiskit's documented matrix == every decomposition.
+
+    Regression for a round-1 bug where the dense matrix implemented
+    ECR(b, a): qiskit's label 'IX' puts X on the FIRST qarg, so in our
+    a=MSB convention ECR(a,b) = (X⊗I - Y⊗X)/sqrt(2).
+    """
+    from mlqem_tpu.transpile.lower import _cx_via_ecr, _ecr_via_cx
+
+    def compose(ops, n=2):
+        u = np.eye(2 ** n, dtype=complex)
+        eye = np.eye(2, dtype=complex)
+        for op in ops:
+            g = gate_unitary(op.name, op.params)
+            if g.shape == (2, 2):
+                full = np.kron(g, eye) if op.qubits[0] == 0 \
+                    else np.kron(eye, g)
+            else:
+                assert tuple(op.qubits) == (0, 1)
+                full = g
+            u = full @ u
+        return u
+
+    def match_up_to_phase(u, v):
+        k = np.argmax(np.abs(v))
+        phase = v.flat[k] / u.flat[k]
+        assert abs(abs(phase) - 1) < 1e-9
+        assert np.allclose(u * phase, v, atol=1e-9)
+
+    ecr = gate_unitary("ecr")
+    # qiskit's documented matrix (little-endian: first qarg = LSB); convert
+    # by the index permutation sigma = [0, 2, 1, 3]
+    mq = np.array([[0, 1, 0, 1j], [1, 0, -1j, 0],
+                   [0, 1j, 0, 1], [-1j, 0, 1, 0]]) / np.sqrt(2)
+    sig = [0, 2, 1, 3]
+    assert np.allclose(ecr, mq[np.ix_(sig, sig)], atol=1e-12)
+    # transpiler lowering ECR -> cx basis
+    match_up_to_phase(compose(_ecr_via_cx(0, 1)), ecr)
+    # cx via ecr corrections
+    cx = gate_unitary("cx")
+    match_up_to_phase(compose(_cx_via_ecr(0, 1)), cx)
+    # stabilizer decomposition (host-side primitive template)
+    from mlqem_tpu.ops.stabilizer import _CLIFFORD_DECOMP
+    from mlqem_tpu.circuits.circuit import Op
+    prims = {"h": "h", "s": "s", "cx": "cx"}
+    ops = []
+    for kind, slots in _CLIFFORD_DECOMP["ecr"]:
+        if kind == "cx":
+            ops.append(Op("cx", (slots[0], slots[1])))
+        else:
+            ops.append(Op(prims[kind], (slots,)))
+    match_up_to_phase(compose(ops), ecr)
+    # batched unitary table (ops/unitaries.py) agrees with gate_unitary
+    from mlqem_tpu.circuits.gates import GATE_IDS
+    from mlqem_tpu.ops.unitaries import op_unitaries
+    mats = np.asarray(op_unitaries(
+        np.array([GATE_IDS["ecr"]], np.int32), np.zeros((1, 3), np.float32)))
+    assert np.allclose(mats[0], ecr, atol=1e-6)
