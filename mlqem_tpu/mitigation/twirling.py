@@ -64,17 +64,18 @@ def twirl_table(gate: str) -> List[Tuple[int, int]]:
     return _TWIRL_TABLES[gate]
 
 
-def twirl_circuit(circuit: Circuit, seed: Optional[int] = None,
-                  gates: Sequence[str] = ("cx", "cz", "ecr")) -> Circuit:
-    """One random twirl instance: sandwich each eligible 2q gate in random
-    Paulis that preserve its action."""
-    rng = np.random.default_rng(seed)
+def _apply_twirl_codes(circuit: Circuit, codes: Sequence[int],
+                       gates: Sequence[str]) -> Circuit:
+    """Build one twirl instance from explicit pre-pair codes (4·pa + pb),
+    one per eligible 2q gate in circuit order."""
     out = Circuit(circuit.num_qubits, dict(circuit.metadata))
+    it = iter(codes)
     for op in circuit.ops:
         if op.name in gates and len(op.qubits) == 2:
             a, b = op.qubits
-            pa, pb = int(rng.integers(4)), int(rng.integers(4))
-            qa, qb = twirl_table(op.name)[4 * pa + pb]
+            code = int(next(it))
+            pa, pb = code // 4, code % 4
+            qa, qb = twirl_table(op.name)[code]
             if pa:
                 out.ops.append(Op(_PAULI_NAMES[pa], (a,), ()))
             if pb:
@@ -89,17 +90,46 @@ def twirl_circuit(circuit: Circuit, seed: Optional[int] = None,
     return out
 
 
+def _count_eligible(circuit: Circuit, gates: Sequence[str]) -> int:
+    return sum(1 for op in circuit.ops
+               if op.name in gates and len(op.qubits) == 2)
+
+
+def twirl_circuit(circuit: Circuit, seed: Optional[int] = None,
+                  gates: Sequence[str] = ("cx", "cz", "ecr")) -> Circuit:
+    """One random twirl instance: sandwich each eligible 2q gate in random
+    Paulis that preserve its action."""
+    rng = np.random.default_rng(seed)
+    n = _count_eligible(circuit, gates)
+    return _apply_twirl_codes(circuit, rng.integers(16, size=n), gates)
+
+
 def sample_twirled_circuits(circuit: Circuit, num_twirls: int,
                             seed: int = 0,
-                            gates: Sequence[str] = ("cx", "cz", "ecr")
-                            ) -> List[Circuit]:
-    """``TwirledCircuit.sample_circuits(num_twirl)`` parity: independent
-    twirl instances of one circuit (averaging their expvals estimates the
-    Pauli-twirled channel)."""
+                            gates: Sequence[str] = ("cx", "cz", "ecr"),
+                            balanced: bool = True) -> List[Circuit]:
+    """``TwirledCircuit.sample_circuits(num_twirl)`` parity: twirl
+    instances of one circuit (averaging their expvals estimates the
+    Pauli-twirled channel).
+
+    ``balanced`` stratifies the ensemble so each gate sees every one of
+    its 16 Pauli pairs equally often (independently shuffled per gate):
+    single-gate marginals are then EXACTLY uniform, cancelling the
+    first-order coherent-error terms that dominate plain-MC variance —
+    the twirl average converges ~θ× faster to the analytic Pauli channel.
+    """
     rng = np.random.default_rng(seed)
-    return [twirl_circuit(circuit, seed=int(rng.integers(2 ** 31)),
-                          gates=gates)
-            for _ in range(num_twirls)]
+    n = _count_eligible(circuit, gates)
+    if not balanced:
+        return [_apply_twirl_codes(circuit, rng.integers(16, size=n), gates)
+                for _ in range(num_twirls)]
+    reps = -(-num_twirls // 16)
+    base = np.tile(np.arange(16), reps)[:num_twirls]
+    # [n, T]: per-gate balanced multiset, independently shuffled
+    assign = np.stack([rng.permutation(base) for _ in range(n)]) \
+        if n else np.zeros((0, num_twirls), np.int64)
+    return [_apply_twirl_codes(circuit, assign[:, t], gates)
+            for t in range(num_twirls)]
 
 
 def twirl_average(values: np.ndarray, num_twirls: int) -> np.ndarray:

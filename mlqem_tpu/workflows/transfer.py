@@ -158,13 +158,18 @@ def calibration_drift(name: str = "ibmq_lima",
     }
 
 
-def scalability_sweep(qubit_counts: Sequence[int] = (5, 20, 50, 100),
+def scalability_sweep(qubit_counts: Sequence[int] = (5, 20, 50, 100,
+                                                    200, 400),
                       depths: Sequence[int] = (1, 4, 7),
                       circuits_each: int = 20,
                       block_qubits: int = 5,
                       seed: int = 0) -> List[Dict]:
     """Stabilizer-method data-gen sweep (``06_scalability`` shape):
-    composed Clifford circuits at growing widths, single-Z labels, timing."""
+    composed Clifford circuits at growing widths, single-Z labels, timing.
+
+    Default widths match the reference's sweep cell
+    (``06_scalability.ipynb``: n_qubits in {5, 20, 50, 100, 200, 400}).
+    """
     from ..circuits.families import generate_composed_clifford
     from ..circuits.observables import single_z
     from ..ops.stabilizer import batch_expectations

@@ -338,3 +338,18 @@ def test_homogeneous_graph_golden_shapes():
     # first node is the H gate: one-hot at the 'h' vocabulary slot
     from mlqem_tpu.circuits.gates import REFERENCE_VOCAB
     assert g["x"][0, REFERENCE_VOCAB.index("h")] == 1.0
+
+
+def test_stabilizer_400q_smoke():
+    """The reference's scalability sweep tops out at 400 qubits
+    (06_scalability.ipynb); one composed-Clifford circuit + single-Z
+    expectation must run at that width."""
+    from mlqem_tpu.circuits.families import generate_composed_clifford
+    from mlqem_tpu.circuits.observables import single_z
+    from mlqem_tpu.ops.stabilizer import StabilizerState
+
+    qc = generate_composed_clifford(5, 80, depth=2, seed=3)
+    assert qc.num_qubits == 400
+    st = StabilizerState.from_circuit(qc)
+    val = st.expectation(single_z(0, 400))
+    assert val in (-1.0, 0.0, 1.0)
