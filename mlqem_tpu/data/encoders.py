@@ -117,7 +117,9 @@ def encode_data(circuits: Sequence[Circuit], properties: dict,
      noisy expvals (num_qubits) | encoded meas basis].
     """
     noisy_exp_vals = _normalize_noisy(noisy_exp_vals)
-    gates_set = sorted(properties["gates_set"])  # must sort!
+    # sorting pins the per-gate-count column order (parity quirk: the
+    # feature layout depends on the lexicographic order of gates_set)
+    gates_set = sorted(properties["gates_set"])
     if meas_bases is None:
         meas_bases = [[]]
     vec = device_stat_vector(properties)
