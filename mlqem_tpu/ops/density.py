@@ -100,6 +100,30 @@ def batch_density_matrices(ct: CircuitTensor, key_ids, noise_table
                             ct.num_qubits)
 
 
+@partial(jax.jit, static_argnames=("num_qubits",))
+def _batched_density_from(gate_ids, qubits, params, key_ids, noise_table,
+                          dm0, num_qubits):
+    def one(g, q, p, k, d):
+        return run_density(CircuitTensor(g, q, p, num_qubits), k,
+                           noise_table, dm0=d)
+
+    return jax.vmap(one)(gate_ids, qubits, params, key_ids, dm0)
+
+
+def batch_density_matrices_from(ct: CircuitTensor, key_ids, noise_table,
+                                dm0: jnp.ndarray) -> jnp.ndarray:
+    """Evolve a batch of initial density matrices through a circuit batch.
+
+    Used to apply per-group measurement-basis rotations (with their noise)
+    to already-evolved states in a single compiled call.
+    """
+    return _batched_density_from(
+        ct.gate_ids, ct.qubits, ct.params,
+        jnp.asarray(np.asarray(key_ids, np.int32)),
+        jnp.asarray(np.asarray(noise_table, np.complex64)),
+        dm0, ct.num_qubits)
+
+
 # ---------------------------------------------------------------------------
 # Measurement-side ops
 # ---------------------------------------------------------------------------

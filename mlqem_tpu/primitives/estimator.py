@@ -15,7 +15,6 @@ Backends:
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import uuid
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -23,15 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..circuits.circuit import Circuit, CircuitTensor, stack_circuits, tensorize
-from ..circuits.gates import GATE_IDS
+from ..circuits.circuit import Circuit, stack_circuits
 from ..circuits.observables import PauliSum, PauliTerm
 from ..circuits.parameters import bind_parameters, circuit_parameters
 from ..device.model import DeviceModel
 from ..device.noise import NoiseModel, compile_noise_table
 from ..ops.density import (apply_readout_confusion, batch_density_matrices,
-                           dm_probabilities, expval_pauli_sum_dm, run_density)
-from ..ops.sampling import (expectation_from_probs, sampled_parity_expectation)
+                           batch_density_matrices_from, dm_probabilities,
+                           expval_pauli_sum_dm)
+from ..ops.sampling import sample_outcomes
 from ..ops.statevector import batch_statevectors, expval_pauli_sum
 from ..utils.rng import prng_key
 
@@ -134,6 +133,44 @@ def _basis_rotation_circuit(term: PauliTerm, num_qubits: int) -> Circuit:
     return rot
 
 
+def _measurement_groups(terms: Sequence[PauliTerm]
+                        ) -> List[Tuple[List[int], List[PauliTerm]]]:
+    """Greedy qubit-wise grouping of terms into shared measurement bases.
+
+    Two terms share a basis when every qubit on which both act non-trivially
+    carries the same Pauli (qubit-wise commuting, the same criterion the
+    reference's BackendEstimator uses via ``abelian_grouping``). Returns
+    ``(basis, terms)`` pairs where ``basis[q] ∈ {0:free/Z, 1:X, 2:Y, 3:Z}``.
+    """
+    groups: List[Tuple[List[int], List[PauliTerm]]] = []
+    for term in terms:
+        codes = term.codes()
+        placed = False
+        for basis, members in groups:
+            if all(c == 0 or basis[q] in (0, int(c))
+                   for q, c in enumerate(codes)):
+                for q, c in enumerate(codes):
+                    if c != 0:
+                        basis[q] = int(c)
+                members.append(term)
+                placed = True
+                break
+        if not placed:
+            groups.append(([int(c) for c in codes], [term]))
+    return groups
+
+
+def _rotation_from_basis(basis: Sequence[int], num_qubits: int) -> Circuit:
+    """Rotation circuit mapping the group's eigenbasis to Z (free/Z → id)."""
+    rot = Circuit(num_qubits)
+    for q, code in enumerate(basis):
+        if code == 1:      # X → H
+            rot.h(q)
+        elif code == 2:    # Y → Sdg, H
+            rot.sdg(q).h(q)
+    return rot
+
+
 class NoisyEstimator(BaseEstimator):
     """Density-matrix simulation under a device noise model.
 
@@ -178,39 +215,54 @@ class NoisyEstimator(BaseEstimator):
             confusion = jnp.asarray(
                 np.asarray(self.noise_model.readout[:n], np.float32))
 
+        exact = shots is None and confusion is None
         values = np.zeros(len(circuits), dtype=np.float64)
-        # group circuit indices by the measurement basis their terms need
+        # one measurement job per (circuit, qubit-wise-commuting basis group);
+        # all rotation evolutions then run as a single batched jit call
+        jobs: List[Tuple[int, Circuit, List[Tuple[float, int]]]] = []
         for i, obs in enumerate(observables):
-            total = 0.0
-            for term in obs.terms:
-                total += np.real(term.coeff) * self._term_value(
-                    dms[i], term, n, confusion, shots)
-            values[i] = total
+            terms = list(obs.terms)
+            if exact:
+                # diagonal terms read the dm diagonal exactly; only X/Y
+                # terms need a (noisy) basis rotation + measurement
+                diag = [t for t in terms if t.masks()[0] == 0]
+                terms = [t for t in terms if t.masks()[0] != 0]
+                if diag:
+                    values[i] += float(np.real(
+                        expval_pauli_sum_dm(dms[i], PauliSum(diag))))
+            for basis, members in _measurement_groups(terms):
+                entries = [(float(np.real(t.coeff)),
+                            t.masks()[0] | t.masks()[1]) for t in members]
+                jobs.append((i, _rotation_from_basis(basis, n), entries))
+
+        if jobs:
+            rot_ct = stack_circuits([rot for _, rot, _ in jobs])
+            rkeys, rtable = compile_noise_table(rot_ct, self.noise_model)
+            dm0 = dms[np.asarray([i for i, _, _ in jobs])]
+            probs = dm_probabilities(
+                batch_density_matrices_from(rot_ct, rkeys, rtable, dm0))
+            if confusion is not None:
+                probs = apply_readout_confusion(probs, confusion, n)
+            if shots is None:
+                pr = np.asarray(probs, np.float64)
+                idx = np.arange(pr.shape[-1], dtype=np.int64)
+                for (i, _, entries), p in zip(jobs, pr):
+                    for coeff, support in entries:
+                        sign = 1.0 - 2.0 * (
+                            np.bitwise_count(idx & support) & 1)
+                        values[i] += coeff * float(p @ sign)
+            else:
+                # one shot table per basis group, shared by its terms —
+                # hardware measurement semantics (and one sampling call)
+                outs = np.asarray(sample_outcomes(
+                    self._next_key(), probs, int(shots)), np.int64)
+                for (i, _, entries), o in zip(jobs, outs):
+                    for coeff, support in entries:
+                        par = np.bitwise_count(o & support) & 1
+                        values[i] += coeff * (1.0 - 2.0 * float(np.mean(par)))
         meta = [{"simulator": "density_matrix", "shots": shots,
                  "readout": confusion is not None} for _ in circuits]
         return Job(EstimatorResult(values, meta))
-
-    def _term_value(self, dm, term: PauliTerm, n: int, confusion,
-                    shots) -> float:
-        x_mask, z_mask = term.masks()
-        diagonal = (x_mask == 0)
-        if diagonal and confusion is None and shots is None:
-            return float(expval_pauli_sum_dm(dm, PauliSum([term])))
-        # measurement semantics: rotate to the term's eigenbasis, then the
-        # (possibly noisy) Z measurement reads the diagonal
-        if not diagonal:
-            rot = _basis_rotation_circuit(term, n)
-            rct = tensorize(rot)
-            rkeys, rtable = compile_noise_table(rct, self.noise_model)
-            dm = run_density(rct, rkeys, rtable, dm0=dm)
-        probs = dm_probabilities(dm)
-        if confusion is not None:
-            probs = apply_readout_confusion(probs, confusion, n)
-        support = int(x_mask | z_mask)
-        if shots is None:
-            return float(expectation_from_probs(probs, support))
-        return float(sampled_parity_expectation(
-            self._next_key(), probs, int(shots), support))
 
 
 class CountsBackend:

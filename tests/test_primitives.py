@@ -91,3 +91,42 @@ def test_multi_term_observable():
     obs = PauliSum([("ZZ", 0.5), ("XX", 0.25), ("ZI", 2.0)])
     val = est.run(qc, obs).result().values[0]
     assert abs(val - (0.5 + 0.25 + 0.0)) < 1e-6
+
+
+def test_measurement_grouping_qubitwise_commuting():
+    from mlqem_tpu.primitives.estimator import _measurement_groups
+
+    obs = PauliSum([("II", 0.5), ("ZI", 0.2), ("IZ", 0.3), ("ZZ", 0.1),
+                    ("XX", 0.4), ("XI", 0.05), ("YY", 0.7)])
+    groups = _measurement_groups(obs.terms)
+    # II/ZI/IZ/ZZ share the Z basis; XX/XI share X⊗X; YY alone
+    assert len(groups) == 3
+    sizes = sorted(len(members) for _, members in groups)
+    assert sizes == [1, 2, 4]
+
+
+def test_grouped_estimator_matches_per_term_reference():
+    """The batched/grouped path must reproduce independent per-term values."""
+    dev = get_device("fake_lima")
+    qc = Circuit(2).h(0).cx(0, 1).rx(0.3, 1)
+    ham = PauliSum([("II", -1.05), ("ZI", 0.39), ("IZ", -0.39),
+                    ("ZZ", -0.01), ("XX", 0.18), ("YY", 0.18)])
+    est = NoisyEstimator(dev)
+    grouped = est.run([qc], [ham]).result().values[0]
+    # reference value: each term evaluated on its own via a fresh estimator
+    per_term = 0.0
+    for pauli, coeff in ham.to_list():
+        v = NoisyEstimator(dev).run([qc], [PauliSum([(pauli, coeff)])])
+        per_term += v.result().values[0]
+    np.testing.assert_allclose(grouped, per_term, atol=1e-5)
+
+
+def test_grouped_estimator_shots_shared_per_basis():
+    """Sampled path: one shot table per basis group, converges to exact."""
+    dev = get_device("fake_lima")
+    qc = Circuit(2).h(0).cx(0, 1)
+    ham = PauliSum([("ZZ", 0.6), ("IZ", 0.2), ("XX", 0.3)])
+    exact = NoisyEstimator(dev).run([qc], [ham]).result().values[0]
+    sampled = NoisyEstimator(dev, shots=60000, seed=7).run(
+        [qc], [ham]).result().values[0]
+    assert abs(sampled - exact) < 0.02
