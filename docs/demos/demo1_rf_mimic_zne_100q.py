@@ -16,8 +16,9 @@ from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
 
 def main():
     dev = configurable_device(100, seed=1)
-    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=6,
-                               max_terms=8192, seed=0)
+    # depth 5 = the K-audit-validated depth at max_terms=16384
+    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=5,
+                               max_terms=16384, seed=0)
     print("qubits:", out["qubits"])
     print(f"RMSE noisy : {out['rmse_noisy']:.5f}")
     print(f"RMSE ZNE   : {out['rmse_zne']:.5f}")

@@ -1,7 +1,15 @@
-"""Tutorial 03 — train mitigation models and deploy behind the Estimator.
+"""Tutorial 03 — experiments on the lima backend (model zoo + deployment).
 
-The product's core loop: dataset → model → learning() decorator → RMSE win.
+Mirrors the reference's ``03_experiments_on_lima_backend.ipynb``: an Ising
+dataset under the real ibmq_lima calibration noise, the four-model
+comparison table (OLS / RF / MLP / GNN — the notebook's figure), the
+digital-ZNE baseline with RF mimicry, and deployment of the best model
+behind the Estimator primitive via ``learning()``.
+
+Run: python docs/tutorials/03_experiments_on_lima_backend.py  (~3 min CPU)
+Set MLQEM_TUT_FAST=1 for a reduced smoke-test size.
 """
+import os
 import numpy as np
 
 from mlqem_tpu import (ModelProcessor, NoisyEstimator, get_device, learning,
@@ -12,11 +20,14 @@ from mlqem_tpu.workflows.mitigate import (model_comparison,
                                           train_mitigation_model, zne_batch,
                                           train_zne_mimic)
 
+FAST = os.environ.get("MLQEM_TUT_FAST") == "1"
 dev = get_device("fake_lima")
-ds = ising_dataset(dev, num_circuits=80, shots=10000, seed=0)
+ds = ising_dataset(dev, num_circuits=40 if FAST else 80, shots=10000,
+                   seed=0)
 
-# model zoo comparison (h10/h12/h15 shape)
-table = model_comparison(ds, dev, seed=0, mlp_epochs=80)
+# model zoo comparison (h10/h12/h15/h17/h34 shape, all four arms)
+table = model_comparison(ds, dev, seed=0, mlp_epochs=40 if FAST else 80,
+                         gnn_epochs=100 if FAST else 400)
 for name, row in table.items():
     print(f"{name:14s} rmse: noisy {row['rmse_noisy']:.4f} -> "
           f"mitigated {row['rmse_mitigated']:.4f}")

@@ -162,14 +162,21 @@ def num_node_features(properties: dict, use_gate_features: bool = True,
 # ---------------------------------------------------------------------------
 # Padded-array batch form for the JAX GNN
 # ---------------------------------------------------------------------------
-def graph_to_arrays(graph: dict, max_nodes: int, max_edges: int):
+def graph_to_arrays(graph: dict, max_nodes: int, max_edges: int,
+                    feat_width: Optional[int] = None):
     """One graph dict → (x[Nmax,F], edge_index[2,Emax], node_mask, edge_mask).
 
     Only DAGOpNode nodes and op→op wire edges are used — exactly the slice
     ``ExpValueEntry.to_pyg_data`` feeds the GNN
-    (``data/generators/exp_val.py:63-89``).
+    (``data/generators/exp_val.py:63-89``). An empty circuit (0 ops, e.g. a
+    0-step Trotter sample) pads to an all-masked graph; its feature width
+    must then come from ``feat_width``.
     """
     x = np.asarray(graph["nodes"]["DAGOpNode"], dtype=np.float32)
+    if x.size == 0:
+        if feat_width is None:
+            raise ValueError("empty graph needs an explicit feat_width")
+        x = x.reshape(0, feat_width)
     n_nodes, feat = x.shape
     eg = graph["edges"].get("DAGOpNode_wire_DAGOpNode",
                             {"edge_index": [[], []], "edge_attr": []})
@@ -198,9 +205,12 @@ def stack_graphs(graphs: Sequence[dict], max_nodes: Optional[int] = None,
                    ["edge_index"][0]) for g in graphs]
     max_nodes = max_nodes or max(max(sizes_n), 1)
     max_edges = max_edges or max(max(sizes_e), 1)
+    feat_width = next(
+        (len(g["nodes"]["DAGOpNode"][0]) for g, n in zip(graphs, sizes_n)
+         if n > 0), None)
     xs, eis, nms, ems = [], [], [], []
     for g in graphs:
-        x, ei, nm, em = graph_to_arrays(g, max_nodes, max_edges)
+        x, ei, nm, em = graph_to_arrays(g, max_nodes, max_edges, feat_width)
         xs.append(x)
         eis.append(ei)
         nms.append(nm)

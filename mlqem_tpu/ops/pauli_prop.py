@@ -338,23 +338,24 @@ class PauliPropagatorIsing:
             return carry, None
 
         init = (ts.x, ts.z, ts.coeff, jnp.float32(0.0))
-        (x, z, c, discarded), _ = jax.lax.scan(
-            trotter_step, init, None, length=self.steps)
-        val = expectation_zero_state(TermSet(x, z, c))
-        return val, discarded
 
-    def generate(self, J_values: np.ndarray, noise_scale: float = 1.0,
-                 qubits: Optional[Sequence[int]] = None
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """(values[B, len(qubits)], discarded_weight[B, len(qubits)]).
+        def trotter_step_out(carry, _):
+            carry, _ = trotter_step(carry, _)
+            x, z, c, disc = carry
+            return carry, (expectation_zero_state(TermSet(x, z, c)), disc)
 
-        Noisy per-qubit ⟨Z_q⟩ (readout applied analytically:
-        z → (1-2p_q)·z for symmetric assignment error).
-        """
-        qubits = list(qubits) if qubits is not None else list(range(self.nq))
-        # noise_scale is a compile-time constant (integer amplification)
+        _, (vals, discs) = jax.lax.scan(
+            trotter_step_out, init, None, length=self.steps)
+        # per-Trotter-step expectation + cumulative discarded weight so one
+        # compiled program serves every depth ≤ steps (step sweeps, and the
+        # truncation K-convergence audit)
+        return vals, discs
+
+    def _run_stepwise(self, J_values, noise_scale, qubits
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw per-step values/discards: ([B, steps, nq'], [B, steps, nq'])."""
         noise_scale = int(round(noise_scale))
-        key = ("gen", len(qubits), noise_scale)
+        key = ("gen", tuple(qubits), noise_scale)
         if key not in self._compiled:
             def run(theta_j, theta_h):
                 vals, errs = [], []
@@ -363,7 +364,8 @@ class PauliPropagatorIsing:
                                            noise_scale)
                     vals.append(v)
                     errs.append(d)
-                return jnp.stack(vals), jnp.stack(errs)
+                # [steps, nq'] each
+                return jnp.stack(vals, axis=-1), jnp.stack(errs, axis=-1)
 
             self._compiled[key] = jax.jit(jax.vmap(
                 run, in_axes=(0, None)))
@@ -375,5 +377,32 @@ class PauliPropagatorIsing:
         if self._readout is not None:
             p = np.array([self._readout[q][1, 0] + self._readout[q][0, 1]
                           for q in qubits], np.float32) / 2.0
-            vals = vals * (1.0 - 2.0 * p)[None, :]
+            vals = vals * (1.0 - 2.0 * p)[None, None, :]
         return vals, np.asarray(errs)
+
+    def generate(self, J_values: np.ndarray, noise_scale: float = 1.0,
+                 qubits: Optional[Sequence[int]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """(values[B, len(qubits)], discarded_weight[B, len(qubits)]).
+
+        Noisy per-qubit ⟨Z_q⟩ after all Trotter steps (readout applied
+        analytically: z → (1-2p_q)·z for symmetric assignment error).
+        """
+        qubits = list(qubits) if qubits is not None else list(range(self.nq))
+        vals, errs = self._run_stepwise(J_values, noise_scale, qubits)
+        return vals[:, -1, :], errs[:, -1, :]
+
+    def generate_stepwise(self, J_values: np.ndarray,
+                          noise_scale: float = 1.0,
+                          qubits: Optional[Sequence[int]] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-Trotter-step values from ONE compiled program.
+
+        Returns (values[B, steps, nq'], cumulative_discard[B, steps, nq']) —
+        step s (0-indexed) is the state after s+1 Trotter steps. One
+        propagation serves a whole depth sweep (the hardware campaigns
+        sweep depth 1..10), and the truncation audit reads the per-step
+        drift directly.
+        """
+        qubits = list(qubits) if qubits is not None else list(range(self.nq))
+        return self._run_stepwise(J_values, noise_scale, qubits)

@@ -30,7 +30,7 @@ from ..ops.pauli_prop import PauliPropagatorIsing
 
 def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          nq: int = 100,
-                         num_steps: int = 10,
+                         num_steps: int = 5,
                          J_train: Sequence[float] = None,
                          J_test: Sequence[float] = None,
                          qubits: Sequence[int] = (0, 24, 49, 74, 99),
@@ -48,10 +48,15 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape.
 
-    Samples: (step, J) grid like the hardware campaign (10 Trotter steps ×
+    Samples: (step, J) grid like the hardware campaign (Trotter-step ×
     J sweep); 5 single-Z observables; per-qubit RandomForest(100) mimics.
     ``shot_noise``: Gaussian measurement noise added to the simulated
     'hardware' values (10k-shot scale ≈ 0.01/√(nf·twirls)).
+
+    The default depth is 5: the K-doubling audit
+    (:func:`truncation_convergence`) shows the demo config's values are
+    converged to <1e-3 at max_terms=16384 through step 5 but NOT at
+    steps ≥6 — deeper runs need the audit rerun at larger K.
     """
     rng = np.random.default_rng(seed)
     device = device or configurable_device(nq, seed=1)
@@ -60,28 +65,24 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     J_test = list(J_test) if J_test is not None else \
         np.round(np.linspace(0.08, 0.52, 5), 3).tolist()
     qubits = [q for q in qubits if q < nq]
+    all_J = J_train + J_test
+    J_arr = np.asarray(all_J, np.float32)
 
-    def labels(J_values, steps, noise_scale):
-        eng = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
-                                   max_terms=max_terms)
-        vals, errs = eng.generate(np.asarray(J_values, np.float32),
-                                  noise_scale=noise_scale, qubits=qubits)
-        return vals, errs
-
-    def ideal_labels(J_values, steps):
-        eng = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
-                                   max_terms=max_terms, noise=False)
-        return eng.generate(np.asarray(J_values, np.float32),
-                            qubits=qubits)[0]
+    # one stepwise propagation per arm covers every depth 1..num_steps
+    eng = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
+                               max_terms=max_terms)
+    noisy_sw, err1 = eng.generate_stepwise(J_arr, noise_factors[0], qubits)
+    amp_sw, err3 = eng.generate_stepwise(J_arr, noise_factors[1], qubits)
+    eng_ideal = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt,
+                                     h=h, max_terms=max_terms, noise=False)
+    ideal_sw = eng_ideal.generate_stepwise(J_arr, qubits=qubits)[0]
+    max_disc = max(float(err1.max()), float(err3.max()))
 
     rows = []
-    all_J = J_train + J_test
-    max_disc = 0.0
     for step in range(1, num_steps + 1):
-        noisy, err1 = labels(all_J, step, noise_factors[0])
-        amp, err3 = labels(all_J, step, noise_factors[1])
-        ideal = ideal_labels(all_J, step)
-        max_disc = max(max_disc, float(err1.max()), float(err3.max()))
+        noisy = noisy_sw[:, step - 1, :]
+        amp = amp_sw[:, step - 1, :]
+        ideal = ideal_sw[:, step - 1, :]
         # simulated shot noise on the 'measured' values
         noisy = noisy + rng.normal(0, shot_noise, noisy.shape)
         amp = amp + rng.normal(0, shot_noise, amp.shape)
@@ -89,7 +90,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         zne = noisy - (amp - noisy) / 2.0
         for i, J in enumerate(all_J):
             rows.append({"step": step, "J": J, "split": "train"
-                         if J in J_train else "test",
+                         if i < len(J_train) else "test",
                          "noisy": noisy[i], "zne": zne[i],
                          "ideal": ideal[i]})
 
@@ -126,6 +127,76 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         "max_truncation_discard": max_disc,
         "qubits": list(qubits),
         "rows": rows,
+    }
+
+
+def truncation_convergence(device: Optional[DeviceModel] = None,
+                           nq: int = 100,
+                           num_steps: int = 10,
+                           dt: float = 0.5,
+                           h: float = 0.5 * np.pi,
+                           J_values: Sequence[float] = (0.05, 0.3, 0.55),
+                           qubits: Sequence[int] = (0, 24, 49, 74, 99),
+                           K_values: Sequence[int] = (2048, 4096, 8192,
+                                                      16384),
+                           noise_factors: Sequence[float] = (0, 1, 3),
+                           tol: float = 1e-3,
+                           seed: int = 1) -> Dict:
+    """K-convergence audit of the sparse Pauli-propagation truncation.
+
+    The discarded-|coeff| counter is a proxy, not a bound — this audit
+    converts it into direct evidence: rerun the demo config at doubling
+    term capacities K and record, per Trotter step and per arm
+    (noise_factor 0 = ideal), the max |value drift| between consecutive K
+    levels. ``validated`` means the top-pair drift (largest two K) is ≤
+    ``tol`` at EVERY step ≤ num_steps for every arm — then values at
+    ``K_validated = max(K_values)`` are converged to tol.
+    ``validated_depth`` is the deepest contiguous step (1-based) through
+    which every arm's top-pair drift stays ≤ tol — run the experiment at
+    that depth when full-depth validation fails.
+    """
+    device = device or configurable_device(nq, seed=seed)
+    J_arr = np.asarray(list(J_values), np.float32)
+    qubits = [q for q in qubits if q < nq]
+    K_values = sorted(K_values)
+    arms: Dict[str, Dict] = {}
+    worst_final = 0.0
+    for nf in noise_factors:
+        vals_by_K = []
+        for K in K_values:
+            eng = PauliPropagatorIsing(device, nq=nq, steps=num_steps,
+                                       dt=dt, h=h, max_terms=K,
+                                       noise=(nf != 0))
+            v, _ = eng.generate_stepwise(
+                J_arr, noise_scale=max(int(nf), 1), qubits=qubits)
+            vals_by_K.append(v)
+        # max over (J, qubit) per step, for each consecutive K pair
+        drift = [np.max(np.abs(vals_by_K[i + 1] - vals_by_K[i]),
+                        axis=(0, 2)).tolist()
+                 for i in range(len(K_values) - 1)]
+        arm = "ideal" if nf == 0 else f"nf{int(nf)}"
+        arms[arm] = {"per_step_drift": drift,
+                     "max_final_pair_drift": float(max(drift[-1]))}
+        worst_final = max(worst_final, float(max(drift[-1])))
+    # deepest contiguous validated depth across arms (top-pair drift ≤ tol)
+    per_step_worst = np.max(
+        [a["per_step_drift"][-1] for a in arms.values()], axis=0)
+    validated_depth = 0
+    for s in range(num_steps):
+        if per_step_worst[s] > tol:
+            break
+        validated_depth = s + 1
+    return {
+        "config": {"nq": nq, "num_steps": num_steps, "dt": dt, "h": float(h),
+                   "J_values": list(map(float, J_values)),
+                   "qubits": list(qubits)},
+        "K_values": list(K_values),
+        "tol": tol,
+        "arms": arms,
+        "worst_final_pair_drift": worst_final,
+        "validated": bool(worst_final <= tol),
+        "validated_depth": int(validated_depth),
+        "K_validated": int(K_values[-1]),
     }
 
 

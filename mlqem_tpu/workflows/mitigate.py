@@ -37,6 +37,75 @@ def encode_dataset(ds: LabeledDataset, device: DeviceModel
                        ds.noisy.tolist(), nq)
 
 
+def graph_encode_dataset(ds: LabeledDataset, device: DeviceModel,
+                         max_nodes: Optional[int] = None,
+                         max_edges: Optional[int] = None
+                         ) -> Dict[str, np.ndarray]:
+    """Padded graph-array dict for the flax GNNs (per-qubit ⟨Z⟩ task).
+
+    Same schema :func:`train_gnn_mbl` feeds ``ExpValCircuitGraphModel3``:
+    DAG node/edge arrays + masks, noisy expvals, zero observable block,
+    circuit depth.
+    """
+    from ..data.graph import circuit_to_graph_data_json, stack_graphs
+
+    props = device.properties()
+    graphs = [circuit_to_graph_data_json(c, props, True, True)
+              for c in ds.circuits]
+    batch = stack_graphs(graphs, max_nodes=max_nodes, max_edges=max_edges)
+    return {
+        "x": batch["x"], "edge_index": batch["edge_index"],
+        "edge_mask": batch["edge_mask"], "node_mask": batch["node_mask"],
+        "noisy": ds.noisy.astype(np.float32),
+        "observable": np.zeros((len(ds), 17), np.float32),
+        "circuit_depth": np.array([c.depth() for c in ds.circuits],
+                                  np.float32),
+    }
+
+
+def train_gnn_on_dataset(ds: LabeledDataset, device: DeviceModel,
+                         test_fraction: float = 0.2, seed: int = 0,
+                         hidden_channels: int = 15, dropout: float = 0.0,
+                         num_epochs: int = 400,
+                         learning_rate: float = 2e-3) -> Dict:
+    """GNN arm of the model zoo: same split protocol as
+    :func:`train_mitigation_model`, graph features instead of flat ones.
+
+    Matches the reference's model-comparison GNN
+    (``docs/tutorials/gnn.py:178-224``, used by h17/h33/h34).
+    """
+    from ..models.gnn import ExpValCircuitGraphModel3
+    from ..models.train import gnn_inputs, predict, train_gnn
+
+    data = graph_encode_dataset(ds, device)
+    y = ds.ideal.astype(np.float32)
+    rng = np.random.default_rng(seed)
+    n = len(ds)
+    idx = rng.permutation(n)
+    n_test = max(1, int(n * test_fraction))
+    te, tr = idx[:n_test], idx[n_test:]
+
+    model = ExpValCircuitGraphModel3(hidden_channels=hidden_channels,
+                                     exp_value_size=ds.ideal.shape[1],
+                                     dropout=dropout)
+    variables, history = train_gnn(
+        model, {**{k: v[tr] for k, v in data.items()}, "y": y[tr]},
+        num_epochs=num_epochs, batch_size=32, learning_rate=learning_rate,
+        seed=seed)
+    pred = predict(model, variables, gnn_inputs,
+                   {k: v[te] for k, v in data.items()})
+    return {
+        "rmse_noisy": float(rmse(ds.noisy[te], y[te])),
+        "rmse_mitigated": float(rmse(pred, y[te])),
+        "rmse_per_qubit_noisy": rmse(ds.noisy[te], y[te], axis=0).tolist(),
+        "rmse_per_qubit_mitigated": rmse(pred, y[te], axis=0).tolist(),
+        "test_indices": te.tolist(),
+        "history": history,
+        "model": model,
+        "variables": variables,
+    }
+
+
 def train_mitigation_model(model, ds: LabeledDataset, device: DeviceModel,
                            test_fraction: float = 0.2, seed: int = 0,
                            **train_kwargs) -> Dict:
@@ -135,8 +204,10 @@ def train_zne_mimic(model, ds: LabeledDataset, device: DeviceModel,
 
 def model_comparison(ds: LabeledDataset, device: DeviceModel,
                      seed: int = 0,
-                     mlp_epochs: int = 150) -> Dict[str, Dict]:
-    """The h34/h17 model-vs-model table: OLS / RF / MLP1 on one dataset."""
+                     mlp_epochs: int = 150,
+                     gnn_epochs: int = 400) -> Dict[str, Dict]:
+    """The h34/h17 model-vs-model table: OLS / RF / MLP1 / GNN on one
+    dataset (all four arms of the reference's comparison, same split)."""
     from ..models.forest import RandomForestRegressor
     from ..models.linear import LinearRegression
     from ..models.mlp import MLP1
@@ -151,4 +222,6 @@ def model_comparison(ds: LabeledDataset, device: DeviceModel,
     out["mlp1"] = train_mitigation_model(
         MLP1(hidden_size=64, output_size=nq), ds, device, seed=seed,
         num_epochs=mlp_epochs, batch_size=32, learning_rate=3e-3)
+    out["gnn"] = train_gnn_on_dataset(ds, device, seed=seed,
+                                      num_epochs=gnn_epochs)
     return out

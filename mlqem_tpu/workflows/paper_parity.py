@@ -52,6 +52,7 @@ def single_ising_parity(setting: str = "incoherent",
                         num_test_steps: int = 30,
                         shots: Optional[int] = 10000,
                         mlp_epochs: int = 200,
+                        gnn_epochs: int = 400,
                         run_zne: bool = True,
                         seed: int = 0) -> Dict:
     """Re-run the single-Ising experiment; returns ours-vs-published RMSEs."""
@@ -82,6 +83,30 @@ def single_ising_parity(setting: str = "incoherent",
                              batch_size=32, learning_rate=3e-3, seed=seed)
     ours["mlp"] = float(rmse(predict(mlp, variables, mlp_inputs,
                                      {"X": Xte}), yte))
+
+    # GNN arm (ref gnn.py:178-224): graph-encode train+test together so
+    # padded node/edge widths match, train on the train block, eval on test
+    from ..models.gnn import ExpValCircuitGraphModel3
+    from ..models.train import gnn_inputs, train_gnn
+    from .datasets import LabeledDataset
+    from .mitigate import graph_encode_dataset
+
+    combined = LabeledDataset(
+        list(train.circuits) + list(test.circuits),
+        np.concatenate([train.ideal, test.ideal]),
+        np.concatenate([train.noisy, test.noisy]),
+        list(train.meta) + list(test.meta))
+    gall = graph_encode_dataset(combined, device)
+    n_tr = len(train)
+    gnn = ExpValCircuitGraphModel3(hidden_channels=15, exp_value_size=4,
+                                   dropout=0.0)
+    gvars, _ = train_gnn(
+        gnn, {**{k: v[:n_tr] for k, v in gall.items()},
+              "y": train.ideal.astype(np.float32)},
+        num_epochs=gnn_epochs, batch_size=32, learning_rate=2e-3, seed=seed)
+    gpred = predict(gnn, gvars, gnn_inputs,
+                    {k: v[n_tr:] for k, v in gall.items()})
+    ours["gnn"] = float(rmse(gpred, yte))
 
     if run_zne:
         zne_vals = zne_batch(test, device, noise=noise, shots=shots,

@@ -120,3 +120,35 @@ def test_noise_scale_consistent_with_kicked_engine():
                              shots=None, readout=False, noise_scale=3)
     _, k3 = eng3.generate(J, seed=0)
     assert np.max(np.abs(v3 - k3)) < 0.015
+
+
+def test_generate_stepwise_consistency():
+    """stepwise[:, -1] must equal generate(); drift decreases with K."""
+    J = np.array([0.2, 0.45], np.float32)
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5, max_terms=2048)
+    sw, dsw = pp.generate_stepwise(J, noise_scale=1)
+    v, d = pp.generate(J, noise_scale=1)
+    assert sw.shape == (2, 3, 4) and dsw.shape == (2, 3, 4)
+    np.testing.assert_allclose(sw[:, -1, :], v, atol=1e-6)
+    np.testing.assert_allclose(dsw[:, -1, :], d, atol=1e-6)
+    # cumulative discard is monotone in step
+    assert np.all(np.diff(dsw, axis=1) >= -5e-6)  # float32 accum noise
+
+
+def test_truncation_convergence_audit():
+    """K-doubling audit: drift shrinks with K and validates at ample K."""
+    from mlqem_tpu.workflows.demos import truncation_convergence
+
+    dev = configurable_device(12, seed=1)
+    out = truncation_convergence(
+        device=dev, nq=12, num_steps=4, dt=0.5, h=0.5 * np.pi,
+        J_values=(0.1, 0.4), qubits=(0, 5, 11),
+        K_values=(64, 128, 256, 512), noise_factors=(0, 1), tol=1e-3)
+    assert out["K_validated"] == 512
+    # per-arm drift between the largest K pair is below the audit's tol
+    assert out["validated"], out["worst_final_pair_drift"]
+    for arm in out["arms"].values():
+        drift = np.asarray(arm["per_step_drift"])  # [pairs, steps]
+        assert drift.shape == (3, 4)
+        # the coarsest pair shows the largest worst-case drift
+        assert drift[0].max() >= drift[-1].max() - 1e-9

@@ -93,13 +93,15 @@ def test_zne_batch_and_mimicry():
 
 def test_model_comparison():
     ds = ising_dataset(DEV, num_circuits=60, shots=None, seed=5)
-    table = model_comparison(ds, DEV, seed=0, mlp_epochs=100)
-    assert set(table) == {"ols", "random_forest", "mlp1"}
+    table = model_comparison(ds, DEV, seed=0, mlp_epochs=100,
+                             gnn_epochs=400)
+    assert set(table) == {"ols", "random_forest", "mlp1", "gnn"}
     # the strong models beat the noisy baseline on this easy task
     assert table["ols"]["rmse_mitigated"] < table["ols"]["rmse_noisy"]
     assert (table["random_forest"]["rmse_mitigated"]
             < table["random_forest"]["rmse_noisy"])
     assert np.isfinite(table["mlp1"]["rmse_mitigated"])
+    assert table["gnn"]["rmse_mitigated"] < table["gnn"]["rmse_noisy"]
 
 
 def test_finetune_cross_device():
@@ -147,8 +149,9 @@ def test_single_ising_parity_improvements():
 
     out = single_ising_parity("incoherent", num_train=120, max_steps=15,
                               num_test_steps=15, mlp_epochs=80,
-                              run_zne=True, seed=0)
+                              gnn_epochs=400, run_zne=True, seed=0)
     imp = out["improvement_ours"]
     assert imp["random_forest"] > 1.5
     assert imp["zne"] > 1.0
+    assert "gnn" in out["ours"] and np.isfinite(out["ours"]["gnn"])
     assert out["ours"]["random_forest"] < out["ours"]["noisy"]
