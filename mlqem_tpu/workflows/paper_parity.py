@@ -96,8 +96,8 @@ def single_ising_parity(setting: str = "incoherent",
         np.concatenate([train.ideal, test.ideal]),
         np.concatenate([train.noisy, test.noisy]),
         list(train.meta) + list(test.meta))
-    gall = graph_encode_dataset(combined, device)
     n_tr = len(train)
+    gall = graph_encode_dataset(combined, device, stats_count=n_tr)
     gnn = ExpValCircuitGraphModel3(hidden_channels=15, exp_value_size=4,
                                    dropout=0.0)
     gvars, _ = train_gnn(

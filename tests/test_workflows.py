@@ -153,5 +153,6 @@ def test_single_ising_parity_improvements():
     imp = out["improvement_ours"]
     assert imp["random_forest"] > 1.5
     assert imp["zne"] > 1.0
-    assert "gnn" in out["ours"] and np.isfinite(out["ours"]["gnn"])
+    # published GNN improvement on this setting is 0.172/0.130 ≈ 1.3
+    assert imp["gnn"] > 1.0
     assert out["ours"]["random_forest"] < out["ours"]["noisy"]
