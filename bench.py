@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
-                    choices=["kicked", "trajectory", "density_matrix"],
+                    choices=["kicked", "trajectory", "frame", "density_matrix"],
                     help="noisy engine: kicked-Ising Pauli-frame+WHT (the "
                          "family-specialized fast path), generic "
                          "Pauli-twirled trajectories, or exact density "
@@ -100,6 +100,7 @@ def main():
 
     desc = {"kicked": "Pauli-frame trajectory noise",
             "trajectory": "Pauli-twirled trajectory noise",
+            "frame": "Pauli-frame generic-circuit noise",
             "density_matrix": "exact dm noise"}[args.method]
     print(json.dumps({
         "metric": f"noisy {args.nq}Q training pairs/min "

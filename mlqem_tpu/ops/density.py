@@ -137,19 +137,23 @@ def apply_readout_confusion(probs: jnp.ndarray,
                             num_qubits: int) -> jnp.ndarray:
     """Apply per-qubit 2×2 assignment matrices to a probability vector.
 
-    confusion: [nq, 2, 2] column-stochastic M[meas, true]. Static loop over
-    qubits with reshape — XLA fuses it into a few small matmuls.
+    confusion: [nq, 2, 2] column-stochastic M[meas, true]. Per qubit,
+    p'_j = M[b_j, b_j]·p_j + M[b_j, 1−b_j]·p_{j⊕m} — elementwise math plus
+    a constant XOR-index gather. (The previous [..., high, 2, low] reshape
+    formulation forced XLA to materialize (2,128)-tiled buffers whose lane
+    axis padded 64×, OOMing at production batch sizes.)
     """
     dim = probs.shape[-1]
     n_total = int(np.log2(dim))
-    batch = probs.shape[:-1]
     for q in range(num_qubits):
         m = confusion[q].astype(probs.dtype)
-        # reshape so axis q is explicit: [..., high, 2, low]
-        low, high = 2 ** q, dim // (2 ** (q + 1))
-        p = probs.reshape(batch + (high, 2, low))
-        p = jnp.einsum("mt,...htl->...hml", m, p)
-        probs = p.reshape(batch + (dim,))
+        j = np.arange(dim, dtype=np.int64)
+        bit = jnp.asarray(((j >> q) & 1).astype(np.float32)).astype(
+            probs.dtype)
+        keep = m[0, 0] * (1 - bit) + m[1, 1] * bit     # M[b, b]
+        cross = m[0, 1] * (1 - bit) + m[1, 0] * bit    # M[b, 1−b]
+        flip_idx = jnp.asarray((j ^ (1 << q)).astype(np.int32))
+        probs = keep * probs + cross * jnp.take(probs, flip_idx, axis=-1)
     return probs
 
 

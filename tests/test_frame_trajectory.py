@@ -1,0 +1,94 @@
+"""Pauli-frame trajectory engine vs the generic gather engine.
+
+With identical presampled Pauli choices the two engines must produce
+identical outcome distributions — the frame engine never applies a noise
+Pauli to the state, so this is a strong end-to-end check of the frame
+algebra (conjugation through CX, sign-flipped rotations, final XOR
+permutation).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlqem_tpu.circuits.circuit import Circuit, CircuitTensor, stack_circuits
+from mlqem_tpu.device.noise import NoiseModel
+from mlqem_tpu.device.registry import configurable_device
+from mlqem_tpu.ops.frame_trajectory import (frame_supported,
+                                            run_frame_trajectories_probs)
+from mlqem_tpu.ops.trajectory import (run_trajectories_presampled,
+                                      twirled_noise_tables)
+from mlqem_tpu.parallel.datagen import make_ising_template
+from mlqem_tpu.utils.rng import prng_key
+
+
+def _choices(pauli_probs, shape, seed=0):
+    logits = jnp.log(jnp.clip(jnp.asarray(pauli_probs), 1e-30, 1.0))
+    extra = (None,) * (len(shape) - logits.ndim + 1)
+    return jax.random.categorical(prng_key(seed), logits[extra], axis=-1,
+                                  shape=shape)
+
+
+def test_ising_template_matches_generic_engine():
+    nq, steps, B, T = 6, 3, 4, 8
+    tpl = make_ising_template(nq, steps, "Z", 0.25, h=1.0)
+    dev = configurable_device(nq, seed=0)
+    nm = NoiseModel.from_device(dev)
+    ct0 = tpl.bind_host(np.zeros(tpl.num_parameters, np.float32))
+    assert frame_supported(ct0, nq)
+    pp = twirled_noise_tables(ct0, nm)
+    J = np.random.default_rng(1).uniform(0.05, 0.6, B).astype(np.float32)
+    ct = tpl.bind(jnp.asarray(J[:, None]))
+    choices = _choices(pp[None, None], (B, T, ct0.max_ops))
+    sv = run_trajectories_presampled(ct0, ct.params, choices, T, nq)
+    p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
+    p_new = np.asarray(run_frame_trajectories_probs(
+        ct0, ct.params, choices, T, nq))
+    np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
+
+
+def test_random_rotation_clifford_circuits_match():
+    rng = np.random.default_rng(7)
+    circs = []
+    for _ in range(3):
+        qc = Circuit(5)
+        for _ in range(25):
+            k = rng.integers(8)
+            q = int(rng.integers(5))
+            if k == 0:
+                qc.x(q)
+            elif k == 1:
+                qc.y(q)
+            elif k == 2:
+                qc.z(q)
+            elif k == 3:
+                qc.rx(float(rng.uniform(-3, 3)), q)
+            elif k == 4:
+                qc.ry(float(rng.uniform(-3, 3)), q)
+            elif k == 5:
+                qc.rz(float(rng.uniform(-3, 3)), q)
+            else:
+                a, b = rng.choice(5, 2, replace=False)
+                qc.cx(int(a), int(b))
+        circs.append(qc)
+    ct = stack_circuits(circs)
+    nm = NoiseModel.from_device(configurable_device(5, seed=0))
+    pp = twirled_noise_tables(ct, nm)                 # [B, L, 16]
+    T = 8
+    choices = _choices(pp[:, None], (len(circs), T, ct.gate_ids.shape[1]),
+                       seed=3)
+    for i in range(len(circs)):
+        cti = CircuitTensor(ct.gate_ids[i], ct.qubits[i], ct.params[i], 5)
+        sv = run_trajectories_presampled(
+            cti, jnp.asarray(ct.params[i][None]), choices[i][None], T, 5)
+        p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))[0]
+        p_new = np.asarray(run_frame_trajectories_probs(
+            cti, jnp.asarray(ct.params[i][None]), choices[i][None],
+            T, 5))[0]
+        np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
+
+
+def test_frame_supported_gates():
+    qc = Circuit(3).h(0).cx(0, 1)
+    assert not frame_supported(stack_circuits([qc]))   # h unsupported
+    qc2 = Circuit(3).rx(0.3, 0).ry(0.2, 1).rz(0.1, 2).cx(0, 2).x(1)
+    assert frame_supported(stack_circuits([qc2]))

@@ -112,3 +112,19 @@ def test_sharded_param_sweep_no_recompile():
     qc2 = Circuit(4).rx(1.1, 0).cx(0, 3).rz(0.5, 3).cx(1, 2)
     ref = np.asarray(statevector(tensorize(qc2)))
     np.testing.assert_allclose(psi2, ref, atol=1e-5)
+
+
+def test_frame_method_matches_trajectory():
+    """method='frame' reproduces method='trajectory' labels exactly:
+    identical presampled Pauli choices → identical distributions."""
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.parallel.datagen import IsingLabelPipeline
+
+    dev = configurable_device(6, seed=0)
+    J = np.linspace(0.1, 0.5, 8)
+    kw = dict(nq=6, steps=3, dt=0.5, shots=None, n_traj=16)
+    i1, n1 = IsingLabelPipeline(dev, method="trajectory",
+                                **kw).generate(J, seed=3)
+    i2, n2 = IsingLabelPipeline(dev, method="frame", **kw).generate(J, seed=3)
+    np.testing.assert_allclose(i1, i2, atol=1e-6)
+    np.testing.assert_allclose(n1, n2, atol=1e-5)
