@@ -134,15 +134,29 @@ def dm_probabilities(dm: jnp.ndarray) -> jnp.ndarray:
 
 def apply_readout_confusion(probs: jnp.ndarray,
                             confusion: jnp.ndarray,
-                            num_qubits: int) -> jnp.ndarray:
+                            num_qubits: int,
+                            variant: str = "einsum") -> jnp.ndarray:
     """Apply per-qubit 2×2 assignment matrices to a probability vector.
 
-    confusion: [nq, 2, 2] column-stochastic M[meas, true]. Per qubit,
-    p'_j = M[b_j, b_j]·p_j + M[b_j, 1−b_j]·p_{j⊕m} — elementwise math plus
-    a constant XOR-index gather. (The previous [..., high, 2, low] reshape
-    formulation forced XLA to materialize (2,128)-tiled buffers whose lane
-    axis padded 64×, OOMing at production batch sizes.)
+    confusion: [nq, 2, 2] column-stochastic M[meas, true].
+
+    variant "einsum" (default): per-qubit [..., high, 2, low] reshape +
+    einsum — fastest inside scan-based programs (the kicked/dm paths).
+    variant "xor": elementwise sign-vector math + one constant XOR-index
+    gather per qubit — required inside large UNROLLED programs (the frame
+    trajectory engine), where XLA materializes the reshape views as
+    (2,128)-tiled buffers whose lane axis pads 64× (34GB at B=8192·T=32).
     """
+    if variant == "einsum":
+        dim = probs.shape[-1]
+        batch = probs.shape[:-1]
+        for q in range(num_qubits):
+            m = confusion[q].astype(probs.dtype)
+            low, high = 2 ** q, dim // (2 ** (q + 1))
+            p = probs.reshape(batch + (high, 2, low))
+            p = jnp.einsum("mt,...htl->...hml", m, p)
+            probs = p.reshape(batch + (dim,))
+        return probs
     dim = probs.shape[-1]
     n_total = int(np.log2(dim))
     for q in range(num_qubits):

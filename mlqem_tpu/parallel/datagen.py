@@ -149,7 +149,9 @@ class IsingLabelPipeline:
                         ct_struct, ct.params, choices, n_traj, nq)
                     probs = jnp.real(states * jnp.conj(states))
                 if confusion is not None:
-                    probs = apply_readout_confusion(probs, confusion, nq)
+                    probs = apply_readout_confusion(
+                        probs, confusion, nq,
+                        variant="xor" if use_frame else "einsum")
                 z_traj = z_expectations(probs, nq)        # [B, T, nq]
                 if shots is None:
                     noisy = jnp.mean(z_traj, axis=1)

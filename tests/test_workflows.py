@@ -77,7 +77,9 @@ def test_random_circuit_dataset():
 
 
 def test_zne_batch_and_mimicry():
-    ds = ising_dataset(DEV, num_circuits=60, shots=None, seed=4)
+    # 100 circuits: the RF mimic's improvement margin is stable (at 60
+    # the 12-circuit test split leaves it within sampling noise of noisy)
+    ds = ising_dataset(DEV, num_circuits=100, shots=None, seed=4)
     zne_vals = zne_batch(ds, DEV, shots=None)
     assert zne_vals.shape == ds.ideal.shape
     # ZNE should improve over raw noisy on average
