@@ -40,14 +40,25 @@ import numpy as np
 from ..circuits.circuit import CircuitTensor
 from ..circuits.gates import GATE_IDS
 
-# gate ids the frame engine supports (x/y/z are π-rotations up to a global
-# phase, which probabilities never see)
-_SUPPORTED = {GATE_IDS[g] for g in
-              ("nop", "id", "x", "y", "z", "rx", "ry", "rz", "cx")}
+# Pauli-axis rotations: gate → (axis, fixed angle or None=parameter).
+# Phase/global-phase differences (s = e^{iπ/4} rz(π/2), t, sx, p, …) never
+# reach probabilities, so every member reduces to rx/ry/rz semantics.
+_ROTATIONS = {
+    GATE_IDS["rx"]: ("x", None), GATE_IDS["ry"]: ("y", None),
+    GATE_IDS["rz"]: ("z", None), GATE_IDS["p"]: ("z", None),
+    GATE_IDS["x"]: ("x", np.pi), GATE_IDS["y"]: ("y", np.pi),
+    GATE_IDS["z"]: ("z", np.pi),
+    GATE_IDS["s"]: ("z", np.pi / 2), GATE_IDS["sdg"]: ("z", -np.pi / 2),
+    GATE_IDS["t"]: ("z", np.pi / 4), GATE_IDS["tdg"]: ("z", -np.pi / 4),
+    GATE_IDS["sx"]: ("x", np.pi / 2), GATE_IDS["sxdg"]: ("x", -np.pi / 2),
+}
 _ID_NOP = (GATE_IDS["nop"], GATE_IDS["id"])
-_RX, _RY, _RZ = GATE_IDS["rx"], GATE_IDS["ry"], GATE_IDS["rz"]
-_X, _Y, _Z, _CX = (GATE_IDS["x"], GATE_IDS["y"], GATE_IDS["z"],
-                   GATE_IDS["cx"])
+_H = GATE_IDS["h"]
+_CX, _CY, _CZ, _SWAP = (GATE_IDS["cx"], GATE_IDS["cy"], GATE_IDS["cz"],
+                        GATE_IDS["swap"])
+_RZZ = GATE_IDS["rzz"]
+_CLIFF2 = (_CX, _CY, _CZ, _SWAP)
+_SUPPORTED = (set(_ROTATIONS) | set(_ID_NOP) | {_H, _RZZ} | set(_CLIFF2))
 
 # per-2q-Pauli-code (4·ca+cb, code 0=I,1=X,2=Y,3=Z) frame bit contributions
 _CODE_X = np.array([c in (1, 2) for c in range(4)], np.int32)
@@ -56,6 +67,31 @@ XBIT_A = np.repeat(_CODE_X, 4).astype(np.int32)        # [16] x-bit of ca
 ZBIT_A = np.repeat(_CODE_Z, 4).astype(np.int32)
 XBIT_B = np.tile(_CODE_X, 4).astype(np.int32)          # [16] x-bit of cb
 ZBIT_B = np.tile(_CODE_Z, 4).astype(np.int32)
+
+
+def _conj2_table(U: np.ndarray) -> np.ndarray:
+    """new_code[16]: how conjugation by the 2q Clifford U permutes the 16
+    local Pauli codes (signs drop — they are global phases on the state)."""
+    from .pauli_prop import _code_mat, _find_code_sign
+
+    codes = np.zeros(16, np.int32)
+    for c in range(16):
+        m = U @ _code_mat(c) @ U.conj().T
+        nc, s = _find_code_sign(m)
+        assert s in (1, -1), (c, s)
+        codes[c] = nc
+    return codes
+
+
+# dense 4x4s match ops/unitaries.py (a = MSB convention)
+_Y2 = np.array([[0, -1j], [1j, 0]])
+_CLIFF2_CODES = {
+    _CX: _conj2_table(np.eye(4)[[0, 1, 3, 2]].astype(complex)),
+    _CY: _conj2_table(np.block([[np.eye(2), np.zeros((2, 2))],
+                                [np.zeros((2, 2)), _Y2]])),
+    _CZ: _conj2_table(np.diag([1.0, 1, 1, -1]).astype(complex)),
+    _SWAP: _conj2_table(np.eye(4)[[0, 2, 1, 3]].astype(complex)),
+}
 
 
 def frame_supported(ct: CircuitTensor, num_qubits: Optional[int] = None
@@ -117,24 +153,65 @@ def _run_frame(gate_ids, qubits, params, choices, num_qubits):
     xa_t, za_t = jnp.asarray(XBIT_A), jnp.asarray(ZBIT_A)
     xb_t, zb_t = jnp.asarray(XBIT_B), jnp.asarray(ZBIT_B)
 
+    def local_code(mx, mz, q):
+        xb = (mx >> q) & 1
+        zb = (mz >> q) & 1
+        return jnp.where(xb == 1, jnp.where(zb == 1, 2, 1),
+                         jnp.where(zb == 1, 3, 0))
+
+    def bit_vec(q):
+        return 0.5 * (1.0 - jnp.asarray(_sign_vec(n, q)))   # bit_q(j) 0/1
+
     for l in range(L):
         g = int(gate_ids[l])
         if g in _ID_NOP:
             continue
         a, b = int(qubits[l, 0]), int(qubits[l, 1])
-        if g == _CX:
-            st = _cx_perm(st, n, a, b)
-            # frame conjugation: X_a → X_a X_b, Z_b → Z_a Z_b
-            fx = fx ^ (((fx >> a) & 1) << b)
-            fz = fz ^ (((fz >> b) & 1) << a)
+        if g in _CLIFF2:
+            # state: shared Clifford on (a, b)
+            if g == _CX:
+                st = _cx_perm(st, n, a, b)
+            elif g == _CY:
+                ctrl = bit_vec(a)
+                yb = 1j * (-jnp.asarray(_sign_vec(n, b)))   # i(2·bit_b−1)
+                st = st * (1.0 - ctrl) + yb * _flip(st, n, b) * ctrl
+            elif g == _CZ:
+                st = st * (1.0 - 2.0 * bit_vec(a) * bit_vec(b))
+            else:  # swap: exchange bits a and b where they differ
+                ba, bb = bit_vec(a), bit_vec(b)
+                differ = ba + bb - 2.0 * ba * bb
+                both = _flip(_flip(st, n, a), n, b)
+                st = st * (1.0 - differ) + both * differ
+            # frame: conjugate the local 2q code through the Clifford
+            code_f = 4 * local_code(fx, fz, a) + local_code(fx, fz, b)
+            nc = jnp.asarray(_CLIFF2_CODES[g])[code_f]
+            clear = np.int32(~((1 << a) | (1 << b)) & 0x7fffffff)
+            fx = (fx & clear) | (jnp.asarray(XBIT_A)[nc] << a) \
+                | (jnp.asarray(XBIT_B)[nc] << b)
+            fz = (fz & clear) | (jnp.asarray(ZBIT_A)[nc] << a) \
+                | (jnp.asarray(ZBIT_B)[nc] << b)
+        elif g == _H:
+            # state: (sz·st + flip)/√2; frame: X↔Z bit swap at a
+            sz = jnp.asarray(_sign_vec(n, a))[None]
+            st = (sz * st + _flip(st, n, a)) * np.float32(1 / np.sqrt(2))
+            d = ((fx ^ fz) >> a) & 1
+            fx = fx ^ (d << a)
+            fz = fz ^ (d << a)
+        elif g == _RZZ:
+            theta = params[l, 0]
+            anti = ((fx >> a) ^ (fx >> b)) & 1   # anticommutes with Z⊗Z
+            s_t = (1.0 - 2.0 * anti.astype(jnp.float32))[:, None]
+            c = jnp.cos(theta / 2.0)
+            sn = jnp.sin(theta / 2.0)
+            szz = (jnp.asarray(_sign_vec(n, a))
+                   * jnp.asarray(_sign_vec(n, b)))[None]
+            st = st * (c - 1j * (s_t * sn) * szz)
         else:
-            # rotation R_A(θ) (x/y/z are θ=π up to global phase)
-            if g in (_RX, _RY, _RZ):
-                theta = params[l, 0]
-                axis = {_RX: "x", _RY: "y", _RZ: "z"}[g]
-            else:
-                theta = jnp.float32(np.pi)
-                axis = {_X: "x", _Y: "y", _Z: "z"}[g]
+            # Pauli-axis rotation (fixed-angle members are phase-equal:
+            # s = e^{iπ/4}·rz(π/2), t, sx, x/y/z, p — probabilities never
+            # see the global phase)
+            axis, fixed = _ROTATIONS[g]
+            theta = params[l, 0] if fixed is None else jnp.float32(fixed)
             if axis == "x":
                 anti = (fz >> a) & 1
             elif axis == "z":

@@ -96,8 +96,9 @@ class IsingLabelPipeline:
 
                 if not frame_supported(ct0, self.nq):
                     raise ValueError(
-                        "method='frame' needs a rotation+CX circuit "
-                        "(gate set {id,x,y,z,rx,ry,rz,cx}, <=30 qubits)")
+                        "method='frame' needs rotations + Cliffords "
+                        "(gate set {id,x,y,z,h,s,sdg,t,tdg,sx,sxdg,rx,ry,"
+                        "rz,p,rzz,cx,cy,cz,swap}, <=30 qubits)")
         self._compiled = {}  # mesh (or None) -> jitted program
 
     def _build(self, mesh=None):

@@ -48,27 +48,26 @@ def test_ising_template_matches_generic_engine():
 
 def test_random_rotation_clifford_circuits_match():
     rng = np.random.default_rng(7)
+    gates_1q = ["x", "y", "z", "h", "s", "sdg", "t", "tdg", "sx", "sxdg"]
+    gates_2q = ["cx", "cy", "cz", "swap"]
     circs = []
-    for _ in range(3):
+    for _ in range(4):
         qc = Circuit(5)
-        for _ in range(25):
-            k = rng.integers(8)
+        for _ in range(40):
+            k = rng.integers(5)
             q = int(rng.integers(5))
             if k == 0:
-                qc.x(q)
+                getattr(qc, gates_1q[int(rng.integers(len(gates_1q)))])(q)
             elif k == 1:
-                qc.y(q)
+                getattr(qc, ["rx", "ry", "rz", "p"][int(rng.integers(4))])(
+                    float(rng.uniform(-3, 3)), q)
             elif k == 2:
-                qc.z(q)
-            elif k == 3:
-                qc.rx(float(rng.uniform(-3, 3)), q)
-            elif k == 4:
-                qc.ry(float(rng.uniform(-3, 3)), q)
-            elif k == 5:
-                qc.rz(float(rng.uniform(-3, 3)), q)
+                a, b = rng.choice(5, 2, replace=False)
+                qc.rzz(float(rng.uniform(-3, 3)), int(a), int(b))
             else:
                 a, b = rng.choice(5, 2, replace=False)
-                qc.cx(int(a), int(b))
+                getattr(qc, gates_2q[int(rng.integers(len(gates_2q)))])(
+                    int(a), int(b))
         circs.append(qc)
     ct = stack_circuits(circs)
     nm = NoiseModel.from_device(configurable_device(5, seed=0))
@@ -88,7 +87,7 @@ def test_random_rotation_clifford_circuits_match():
 
 
 def test_frame_supported_gates():
-    qc = Circuit(3).h(0).cx(0, 1)
-    assert not frame_supported(stack_circuits([qc]))   # h unsupported
-    qc2 = Circuit(3).rx(0.3, 0).ry(0.2, 1).rz(0.1, 2).cx(0, 2).x(1)
+    qc = Circuit(3).h(0).cx(0, 1).crz(0.3, 1, 2)
+    assert not frame_supported(stack_circuits([qc]))   # crz unsupported
+    qc2 = Circuit(3).rx(0.3, 0).h(1).s(2).cz(0, 2).swap(1, 2).rzz(0.2, 0, 1)
     assert frame_supported(stack_circuits([qc2]))

@@ -152,3 +152,15 @@ def test_truncation_convergence_audit():
         assert drift.shape == (3, 4)
         # the coarsest pair shows the largest worst-case drift
         assert drift[0].max() >= drift[-1].max() - 1e-9
+
+
+def test_compiled_cache_keyed_on_qubit_set():
+    """Same-length but different qubit tuples must not share a program."""
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=2, dt=0.5, max_terms=1024,
+                              noise=False, readout=False)
+    J = np.array([0.3], np.float32)
+    v01 = pp.generate(J, qubits=(0, 1))[0]
+    v23 = pp.generate(J, qubits=(2, 3))[0]
+    ref = pp.generate(J)[0]            # all four qubits
+    np.testing.assert_allclose(v01[0], ref[0, [0, 1]], atol=1e-6)
+    np.testing.assert_allclose(v23[0], ref[0, [2, 3]], atol=1e-6)
