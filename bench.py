@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--nq", type=int, default=10)
     ap.add_argument("--steps", type=int, default=4,
                     help="Trotter steps per circuit (~40 ops/step at 10q)")
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
                     choices=["kicked", "trajectory", "frame", "density_matrix"],

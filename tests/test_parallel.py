@@ -128,3 +128,20 @@ def test_frame_method_matches_trajectory():
     i2, n2 = IsingLabelPipeline(dev, method="frame", **kw).generate(J, seed=3)
     np.testing.assert_allclose(i1, i2, atol=1e-6)
     np.testing.assert_allclose(n1, n2, atol=1e-5)
+
+
+def test_frame_method_sharded_matches_unsharded():
+    """The frame engine's label pipeline shards over the dp mesh."""
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.parallel.datagen import IsingLabelPipeline
+    from mlqem_tpu.parallel.mesh import make_mesh
+
+    dev = configurable_device(4, seed=0)
+    pipe = IsingLabelPipeline(dev, nq=4, steps=2, dt=0.5, shots=None,
+                              method="frame", n_traj=8)
+    J = np.linspace(0.1, 0.5, 16)
+    i0, n0 = pipe.generate(J, seed=1)
+    mesh = make_mesh()
+    i1, n1 = pipe.generate(J, seed=1, mesh=mesh)
+    np.testing.assert_allclose(i0, i1, atol=1e-6)
+    np.testing.assert_allclose(n0, n1, atol=1e-5)
