@@ -27,11 +27,9 @@ from ..circuits.families import (IsingModel, IsingOptions,
                                  construct_mbl_circ_with_cut,
                                  construct_mbl_circuit, construct_tiling,
                                  generate_disorder, random_circuit)
-from ..circuits.observables import single_z
 from ..data.encoders import calc_imbalance
 from ..device.model import DeviceModel
 from ..device.noise import NoiseModel, add_coherent_cx_noise
-from ..primitives.estimator import IdealEstimator, NoisyEstimator
 
 
 def noise_setting(device: DeviceModel, setting: str,
@@ -54,16 +52,41 @@ def noise_setting(device: DeviceModel, setting: str,
 def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
                noise_model: NoiseModel, shots: Optional[int],
                seed: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(ideal[B, nq], noisy[B, nq]) per-qubit Z labels for circuit lists."""
+    """(ideal[B, nq], noisy[B, nq]) per-qubit Z labels for circuit lists.
+
+    One statevector pass and ONE noisy density-matrix evolution serve all
+    nq single-Z observables (the estimator API would re-evolve per
+    observable), and all qubits read off a shared shot record — the
+    hardware/counts semantics (``cal_all_z_exp``, one counts dict per
+    circuit).
+    """
+    import jax.numpy as jnp
+
+    from ..device.noise import compile_noise_table
+    from ..ops.density import (apply_readout_confusion,
+                               batch_density_matrices, dm_probabilities)
+    from ..ops.sampling import sampled_z_expectations
+    from ..ops.statevector import (batch_statevectors, probabilities,
+                                   z_expectations)
+    from ..utils.rng import prng_key
+
     nq = circuits[0].num_qubits
-    obs = [single_z(q, nq) for q in range(nq)]
-    ideal = np.stack(
-        [IdealEstimator().run(list(circuits), o).result().values
-         for o in obs], axis=1)
-    noisy_est = NoisyEstimator(noise_model, shots=shots, seed=seed)
-    noisy = np.stack(
-        [noisy_est.run(list(circuits), o).result().values for o in obs],
-        axis=1)
+    ct = stack_circuits(list(circuits))
+    ideal = np.asarray(
+        z_expectations(probabilities(batch_statevectors(ct)), nq),
+        np.float64)
+
+    keys, table = compile_noise_table(ct, noise_model)
+    probs = dm_probabilities(batch_density_matrices(ct, keys, table))
+    if noise_model is not None and noise_model.readout is not None:
+        probs = apply_readout_confusion(
+            probs, jnp.asarray(np.asarray(noise_model.readout[:nq],
+                                          np.float32)), nq)
+    if shots is None:
+        noisy = np.asarray(z_expectations(probs, nq), np.float64)
+    else:
+        noisy = np.asarray(sampled_z_expectations(
+            prng_key(seed), probs, int(shots), nq), np.float64)
     return ideal, noisy
 
 
