@@ -148,9 +148,22 @@ class ZNEStrategy:
 
     noise_factors: Tuple[float, ...] = (1, 3)
     gates_to_fold: Optional[int] = 2
-    extrapolator: Extrapolator = dataclasses.field(
+    extrapolator: Union[Extrapolator, str] = dataclasses.field(
         default_factory=LinearExtrapolator)
     folding: str = "local"  # or "global"
+
+    def __post_init__(self):
+        if isinstance(self.extrapolator, str):
+            table = {"linear": LinearExtrapolator,
+                     "polynomial": PolynomialExtrapolator,
+                     "richardson": RichardsonExtrapolator,
+                     "exponential": ExponentialExtrapolator}
+            try:
+                self.extrapolator = table[self.extrapolator]()
+            except KeyError:
+                raise ValueError(
+                    f"unknown extrapolator {self.extrapolator!r}; "
+                    f"choose from {sorted(table)}") from None
 
     def amplify(self, circuit: Circuit, nf: float, seed: int = 0) -> Circuit:
         if nf == 1:

@@ -19,12 +19,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..circuits.observables import single_z
 from ..data.encoders import encode_data
 from ..device.model import DeviceModel
 from ..metrics import rmse
-from ..mitigation.zne import ZNEEstimator, ZNEStrategy
-from ..primitives.estimator import NoisyEstimator
+from ..mitigation.zne import ZNEStrategy
 from .datasets import LabeledDataset, noise_setting
 
 
@@ -171,18 +169,27 @@ def zne_batch(ds: LabeledDataset, device: DeviceModel,
               seed: int = 0) -> np.ndarray:
     """ZNE-mitigated per-qubit Z values for every circuit: [B, nq].
 
-    The ``zne_parallel.py`` equivalent — one batched call per observable
-    instead of a multiprocessing pool over circuits (:269-271).
+    The ``zne_parallel.py`` equivalent — ONE batched evolution of all
+    B × len(noise_factors) folded circuits serves every qubit's Z (vs the
+    reference's multiprocessing pool over circuits, :269-271, and vs
+    re-evolving per observable); all qubits read a shared shot record per
+    folded circuit (hardware counts semantics).
     """
+    from .datasets import _zq_labels
+
     nm = noise_setting(device, noise, seed=seed)
-    est = ZNEEstimator(NoisyEstimator(nm, shots=shots, seed=seed),
-                       strategy or ZNEStrategy(noise_factors=(1, 3)))
+    strategy = strategy or ZNEStrategy(noise_factors=(1, 3))
+    nfs = list(strategy.noise_factors)
+    folded = [strategy.amplify(qc, nf) for qc in ds.circuits for nf in nfs]
+    _, noisy = _zq_labels(folded, device, nm, shots, seed)
     nq = ds.ideal.shape[1]
-    cols = []
-    for q in range(nq):
-        obs = single_z(q, ds.circuits[0].num_qubits)
-        cols.append(est.run(list(ds.circuits), obs).result().values)
-    return np.stack(cols, axis=1)
+    vals = noisy.reshape(len(ds.circuits), len(nfs), nq)
+    out = np.empty((len(ds.circuits), nq))
+    for i in range(vals.shape[0]):
+        for q in range(nq):
+            out[i, q] = strategy.extrapolator.extrapolate(
+                nfs, vals[i, :, q])
+    return out
 
 
 def train_zne_mimic(model, ds: LabeledDataset, device: DeviceModel,
