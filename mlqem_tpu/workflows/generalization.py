@@ -12,11 +12,9 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from ..circuits.families import construct_mbl_circuit, generate_disorder
-from ..circuits.observables import single_z
 from ..device.model import DeviceModel
 from ..metrics import rmse
 from ..models.forest import RandomForestRegressor
-from ..primitives.estimator import IdealEstimator, NoisyEstimator
 from .datasets import LabeledDataset, noise_setting
 from .mitigate import encode_dataset, train_mitigation_model
 
@@ -34,12 +32,9 @@ def _mbl_at(device: DeviceModel, num_qubits: int, thetas, steps_list,
                 circuits.append(construct_mbl_circuit(
                     num_qubits, disorder, theta, steps, measure=False))
                 meta.append({"theta": theta, "steps": steps})
-    obs = [single_z(q, num_qubits) for q in range(num_qubits)]
-    ideal = np.stack([IdealEstimator().run(circuits, o).result().values
-                      for o in obs], axis=1)
-    noisy_est = NoisyEstimator(nm, shots=shots, seed=seed)
-    noisy = np.stack([noisy_est.run(circuits, o).result().values
-                      for o in obs], axis=1)
+    from .datasets import _zq_labels
+
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
     return LabeledDataset(circuits, ideal, noisy, meta)
 
 
