@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--nq", type=int, default=10)
     ap.add_argument("--steps", type=int, default=4,
                     help="Trotter steps per circuit (~40 ops/step at 10q)")
-    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=None,
+                help="default: 16384 for kicked (HBM sweet spot), 8192 otherwise")
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
                     choices=["kicked", "trajectory", "frame", "density_matrix"],
@@ -40,6 +41,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0,
                     help="steady-state measurement window")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 16384 if args.method == "kicked" else 8192
 
     import jax
 

@@ -153,10 +153,12 @@ class KickedIsingEngine:
         BT = B * self.n_traj
         S = self.steps
         # sample all noise Paulis up front: 2 CX per bond per step
-        logits = jnp.log(jnp.clip(jnp.asarray(self._bond_probs), 1e-30, 1.0))
-        draws = jax.random.categorical(
-            key, logits[None, None, :, None, :], axis=-1,
-            shape=(S, BT, n_bonds, 2))               # [S, BT, n_bonds, 2]
+        # (inverse-CDF: categorical would build a [S,BT,nb,2,16] gumbel)
+        from .sampling import sample_small_categorical
+
+        draws = sample_small_categorical(
+            key, jnp.asarray(self._bond_probs)[None, None, :, None, :],
+            (S, BT, n_bonds, 2))                     # [S, BT, n_bonds, 2]
         # pauli code p (0..3 per qubit): x-part p∈{1,2}, z-part p∈{2,3}
         pa = draws // 4
         pb = draws % 4

@@ -48,6 +48,27 @@ def sample_histogram(key: jax.Array, probs: jnp.ndarray, shots: int,
     return jnp.sum(one_hot, axis=-2)
 
 
+def sample_small_categorical(key: jax.Array, probs: jnp.ndarray,
+                             shape) -> jnp.ndarray:
+    """Categorical draws over a SMALL support without the gumbel blowup.
+
+    ``jax.random.categorical`` materializes a [shape..., K] gumbel tensor —
+    ~5GB for the trajectory engines' per-op Pauli choices at production
+    batches. Here: one uniform per draw + K-1 fused elementwise
+    comparisons against the CDF (index = #{cdf_k < u}), no K-sized
+    intermediate. ``probs[..., K]`` must broadcast against ``shape`` on
+    its leading axes (i.e. probs.shape[:-1] vs shape align from the right).
+    """
+    p = jnp.asarray(probs, jnp.float32)
+    cdf = jnp.cumsum(p, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    idx = jnp.zeros(shape, jnp.int32)
+    for k in range(p.shape[-1] - 1):
+        idx = idx + (u > cdf[..., k]).astype(jnp.int32)
+    return idx
+
+
 def sampled_z_expectations(key: jax.Array, probs: jnp.ndarray, shots: int,
                            num_qubits: int) -> jnp.ndarray:
     """Per-qubit ⟨Z_q⟩ estimated from `shots` samples: [..., nq]."""

@@ -170,9 +170,10 @@ def run_trajectories(ct: CircuitTensor, pauli_probs: jnp.ndarray,
     mats = op_unitaries(ct.gate_ids, ct.params, COMPLEX_DTYPE)  # [L, 4, 4]
     L = mats.shape[0]
     # pre-sample all Pauli insertions: [L, n_traj]
-    logits = jnp.log(jnp.clip(pauli_probs, 1e-30, 1.0))        # [L, 16]
-    choices = jax.random.categorical(
-        key, logits[:, None, :], axis=-1, shape=(L, n_traj))
+    from .sampling import sample_small_categorical
+
+    choices = sample_small_categorical(
+        key, pauli_probs[:, None, :], (L, n_traj))
     pauli_table = jnp.asarray(PAULI_4X4)
 
     def step(state, op):

@@ -127,13 +127,15 @@ class IsingLabelPipeline:
 
             if method in ("trajectory", "frame"):
                 B = param_batch.shape[0]
+                from ..ops.sampling import sample_small_categorical
+
                 choice_key, shot_key = jax.random.split(sample_key)
                 L = ct_struct.max_ops
-                logits = jnp.log(jnp.clip(
-                    jnp.asarray(pauli_probs), 1e-30, 1.0))    # [L, 16]
-                choices = jax.random.categorical(
-                    choice_key, logits[None, None], axis=-1,
-                    shape=(B, n_traj, L))
+                # [L, 16] rows broadcast over (B, n_traj, L) draws —
+                # inverse-CDF avoids categorical's [B,T,L,16] gumbel buffer
+                choices = sample_small_categorical(
+                    choice_key, jnp.asarray(pauli_probs)[None, None],
+                    (B, n_traj, L))
                 if use_frame:
                     from ..ops.frame_trajectory import \
                         run_frame_trajectories_probs
