@@ -158,7 +158,6 @@ def apply_readout_confusion(probs: jnp.ndarray,
             probs = p.reshape(batch + (dim,))
         return probs
     dim = probs.shape[-1]
-    n_total = int(np.log2(dim))
     for q in range(num_qubits):
         m = confusion[q].astype(probs.dtype)
         j = np.arange(dim, dtype=np.int64)
