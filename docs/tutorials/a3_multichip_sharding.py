@@ -2,7 +2,7 @@
 
 Run on CPU with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-      python docs/tutorials/06_multichip_sharding.py
+      python docs/tutorials/a3_multichip_sharding.py
 """
 import jax
 import numpy as np

@@ -113,20 +113,29 @@ def sample_twirled_circuits(circuit: Circuit, num_twirls: int,
     Pauli-twirled channel).
 
     ``balanced`` stratifies the ensemble so each gate sees every one of
-    its 16 Pauli pairs equally often (independently shuffled per gate):
-    single-gate marginals are then EXACTLY uniform, cancelling the
-    first-order coherent-error terms that dominate plain-MC variance —
-    the twirl average converges ~θ× faster to the analytic Pauli channel.
+    its 16 Pauli pairs as equally often as num_twirls allows
+    (independently shuffled per gate): with num_twirls a multiple of 16
+    the single-gate marginals are EXACTLY uniform; otherwise the
+    remainder codes are a uniformly random subset (unbiased marginals,
+    small residual variance). Either way the first-order coherent-error
+    terms that dominate plain-MC variance cancel ~θ× faster.
     """
     rng = np.random.default_rng(seed)
     n = _count_eligible(circuit, gates)
     if not balanced:
         return [_apply_twirl_codes(circuit, rng.integers(16, size=n), gates)
                 for _ in range(num_twirls)]
-    reps = -(-num_twirls // 16)
-    base = np.tile(np.arange(16), reps)[:num_twirls]
+
+    def one_gate_codes():
+        # full 16-blocks + an unbiased random subset for the remainder
+        # (a fixed arange slice would overweight the low codes — e.g. at
+        # num_twirls=8 the control pre-Pauli would only ever be I or X)
+        full = np.tile(np.arange(16), num_twirls // 16)
+        rem = rng.choice(16, num_twirls % 16, replace=False)
+        return rng.permutation(np.concatenate([full, rem]))
+
     # [n, T]: per-gate balanced multiset, independently shuffled
-    assign = np.stack([rng.permutation(base) for _ in range(n)]) \
+    assign = np.stack([one_gate_codes() for _ in range(n)]) \
         if n else np.zeros((0, num_twirls), np.int64)
     return [_apply_twirl_codes(circuit, assign[:, t], gates)
             for t in range(num_twirls)]

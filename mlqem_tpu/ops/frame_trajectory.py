@@ -164,10 +164,13 @@ def _run_frame(gate_ids, qubits, params, choices, num_qubits):
 
     for l in range(L):
         g = int(gate_ids[l])
-        if g in _ID_NOP:
-            continue
         a, b = int(qubits[l, 0]), int(qubits[l, 1])
-        if g in _CLIFF2:
+        if g in _ID_NOP:
+            # the GATE is trivial but its noise channel is not ('id' under
+            # a device model carries idle T1/T2 error) — only the state
+            # update is skipped, the sampled Pauli still enters the frame
+            pass
+        elif g in _CLIFF2:
             # state: shared Clifford on (a, b)
             if g == _CX:
                 st = _cx_perm(st, n, a, b)

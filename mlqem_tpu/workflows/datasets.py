@@ -51,8 +51,9 @@ def noise_setting(device: DeviceModel, setting: str,
 
 def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
                noise_model: NoiseModel, shots: Optional[int],
-               seed: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(ideal[B, nq], noisy[B, nq]) per-qubit Z labels for circuit lists.
+               seed: int, ideal: bool = True
+               ) -> Tuple[Optional[np.ndarray], np.ndarray]:
+    """(ideal[B, nq] or None, noisy[B, nq]) per-qubit Z labels.
 
     One statevector pass and ONE noisy density-matrix evolution serve all
     nq single-Z observables (the estimator API would re-evolve per
@@ -72,9 +73,9 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
 
     nq = circuits[0].num_qubits
     ct = stack_circuits(list(circuits))
-    ideal = np.asarray(
+    ideal_vals = np.asarray(
         z_expectations(probabilities(batch_statevectors(ct)), nq),
-        np.float64)
+        np.float64) if ideal else None
 
     keys, table = compile_noise_table(ct, noise_model)
     probs = dm_probabilities(batch_density_matrices(ct, keys, table))
@@ -87,7 +88,7 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     else:
         noisy = np.asarray(sampled_z_expectations(
             prng_key(seed), probs, int(shots), nq), np.float64)
-    return ideal, noisy
+    return ideal_vals, noisy
 
 
 @dataclasses.dataclass

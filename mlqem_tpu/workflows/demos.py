@@ -155,10 +155,13 @@ def truncation_convergence(device: Optional[DeviceModel] = None,
     which every arm's top-pair drift stays ≤ tol — run the experiment at
     that depth when full-depth validation fails.
     """
+    K_values = sorted(K_values)
+    if len(K_values) < 2:
+        raise ValueError("truncation_convergence needs >=2 K values to "
+                         "measure drift between capacities")
     device = device or configurable_device(nq, seed=seed)
     J_arr = np.asarray(list(J_values), np.float32)
     qubits = [q for q in qubits if q < nq]
-    K_values = sorted(K_values)
     arms: Dict[str, Dict] = {}
     worst_final = 0.0
     for nf in noise_factors:

@@ -39,8 +39,8 @@ def graph_encode_dataset(ds: LabeledDataset, device: DeviceModel,
                          max_nodes: Optional[int] = None,
                          max_edges: Optional[int] = None,
                          standardize: bool = True,
-                         stats_count: Optional[int] = None
-                         ) -> Dict[str, np.ndarray]:
+                         stats_count: Optional[int] = None,
+                         stats_indices=None) -> Dict[str, np.ndarray]:
     """Padded graph-array dict for the flax GNNs (per-qubit ⟨Z⟩ task).
 
     Same schema :func:`train_gnn_mbl` feeds ``ExpValCircuitGraphModel3``:
@@ -50,9 +50,10 @@ def graph_encode_dataset(ds: LabeledDataset, device: DeviceModel,
     ``standardize`` z-scores the node features (over real nodes) and the
     circuit depth — the raw features mix scales from t1/t2 ≈ 1e-4 s to
     depths of tens, which stalls GNN training (measured: RMSE 0.072 raw →
-    0.042 standardized on the single-Ising parity run). ``stats_count``
-    restricts the statistics to the first N entries (pass the train-block
-    size when train/test are encoded together, avoiding test leakage).
+    0.042 standardized on the single-Ising parity run). Restrict the
+    statistics to the train rows to avoid test leakage: ``stats_count``
+    uses the first N entries (train block first), ``stats_indices`` an
+    arbitrary index array (random splits).
     """
     from ..data.graph import circuit_to_graph_data_json, stack_graphs
 
@@ -63,13 +64,17 @@ def graph_encode_dataset(ds: LabeledDataset, device: DeviceModel,
     x = batch["x"].astype(np.float32)
     depth = np.array([c.depth() for c in ds.circuits], np.float32)
     if standardize:
-        ns = stats_count if stats_count is not None else x.shape[0]
-        real = batch["node_mask"][:ns].astype(bool)
-        flat = x[:ns][real]                              # [N_real, F]
+        if stats_indices is not None:
+            sel = np.asarray(stats_indices)
+        else:
+            ns = stats_count if stats_count is not None else x.shape[0]
+            sel = np.arange(ns)
+        real = batch["node_mask"][sel].astype(bool)
+        flat = x[sel][real]                              # [N_real, F]
         mu = flat.mean(axis=0)
         sd = flat.std(axis=0) + 1e-8
         x = ((x - mu) / sd) * batch["node_mask"][..., None]
-        dmu, dsd = depth[:ns].mean(), depth[:ns].std() + 1e-8
+        dmu, dsd = depth[sel].mean(), depth[sel].std() + 1e-8
         depth = (depth - dmu) / dsd
     return {
         "x": x.astype(np.float32), "edge_index": batch["edge_index"],
@@ -94,13 +99,14 @@ def train_gnn_on_dataset(ds: LabeledDataset, device: DeviceModel,
     from ..models.gnn import ExpValCircuitGraphModel3
     from ..models.train import gnn_inputs, predict, train_gnn
 
-    data = graph_encode_dataset(ds, device)
     y = ds.ideal.astype(np.float32)
     rng = np.random.default_rng(seed)
     n = len(ds)
     idx = rng.permutation(n)
     n_test = max(1, int(n * test_fraction))
     te, tr = idx[:n_test], idx[n_test:]
+    # standardization statistics from the TRAIN rows only (no test leakage)
+    data = graph_encode_dataset(ds, device, stats_indices=tr)
 
     model = ExpValCircuitGraphModel3(hidden_channels=hidden_channels,
                                      exp_value_size=ds.ideal.shape[1],
@@ -181,7 +187,8 @@ def zne_batch(ds: LabeledDataset, device: DeviceModel,
     strategy = strategy or ZNEStrategy(noise_factors=(1, 3))
     nfs = list(strategy.noise_factors)
     folded = [strategy.amplify(qc, nf) for qc in ds.circuits for nf in nfs]
-    _, noisy = _zq_labels(folded, device, nm, shots, seed)
+    _, noisy = _zq_labels(folded, device, nm, shots, seed,
+                          ideal=False)
     nq = ds.ideal.shape[1]
     vals = noisy.reshape(len(ds.circuits), len(nfs), nq)
     out = np.empty((len(ds.circuits), nq))

@@ -91,3 +91,26 @@ def test_frame_supported_gates():
     assert not frame_supported(stack_circuits([qc]))   # crz unsupported
     qc2 = Circuit(3).rx(0.3, 0).h(1).s(2).cz(0, 2).swap(1, 2).rzz(0.2, 0, 1)
     assert frame_supported(stack_circuits([qc2]))
+
+
+def test_id_gate_noise_enters_the_frame():
+    """'id' under a device model is pure idle noise — the sampled Pauli
+    must hit the frame even though the gate itself is trivial."""
+    qc = Circuit(3).rx(0.5, 0).id(2).cx(0, 1)
+    ct = stack_circuits([qc])
+    L = ct.gate_ids.shape[1]
+    # force an X insertion (code 4 = X on the op's first qubit) at the id
+    id_slot = [i for i, op in enumerate(
+        [o for o in qc.ops]) if op.name == "id"][0]
+    choices = np.zeros((1, 2, L), np.int32)
+    choices[:, :, id_slot] = 4
+    choices = jnp.asarray(choices)
+    cti = CircuitTensor(ct.gate_ids[0], ct.qubits[0], ct.params[0], 3)
+    sv = run_trajectories_presampled(cti, jnp.asarray(ct.params),
+                                     choices, 2, 3)
+    p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
+    p_new = np.asarray(run_frame_trajectories_probs(
+        cti, jnp.asarray(ct.params), choices, 2, 3))
+    np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
+    # and the X actually moved probability onto qubit 2's excited half
+    assert p_new[0, 0, 4:].sum() > 0.99

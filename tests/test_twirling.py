@@ -105,3 +105,24 @@ def test_sampled_twirl_converges_on_ising():
     # plain-MC ensemble misses 3e-3 by ~3x at this twirl count.)
     diff = np.abs(avg - analytic)
     assert np.max(diff) < 3e-3, diff
+
+
+def test_balanced_twirl_unbiased_at_non_multiple_of_16():
+    """num_twirls not divisible by 16 must still reach all 16 codes
+    (a fixed arange slice would never put Y/Z on the control qubit)."""
+    from mlqem_tpu.circuits.circuit import Circuit
+    from mlqem_tpu.mitigation.twirling import sample_twirled_circuits
+
+    qc = Circuit(2).h(0).cx(0, 1)
+    control_paulis = set()
+    for seed in range(24):
+        for tw in sample_twirled_circuits(qc, num_twirls=8, seed=seed):
+            # the op right before the cx (if any Pauli) is the control/
+            # target pre-Pauli sandwich
+            for i, op in enumerate(tw.ops):
+                if op.name == "cx":
+                    for prev in tw.ops[max(0, i - 2):i]:
+                        if prev.name in ("x", "y", "z") \
+                                and prev.qubits == (0,):
+                            control_paulis.add(prev.name)
+    assert control_paulis == {"x", "y", "z"}, control_paulis
