@@ -1,6 +1,6 @@
-"""Tutorial 01 — the simulation engines.
+"""Appendix tutorial a1 — the simulation engines.
 
-Run: python docs/tutorials/01_simulation_engines.py
+Run: python docs/tutorials/a1_simulation_engines.py
 (Add JAX_PLATFORMS=cpu for a quick CPU run.)
 """
 import numpy as np

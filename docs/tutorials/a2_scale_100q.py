@@ -1,4 +1,4 @@
-"""Tutorial 05 — 100-qubit noisy simulation + ZNE mimicry (demo1 at scale).
+"""Appendix tutorial a2 — 100-qubit noisy simulation + ZNE mimicry (demo1 at scale).
 
 Sparse Pauli propagation makes the reference's hardware-only 100Q pipeline
 fully simulable.

@@ -1,4 +1,4 @@
-"""Tutorial 06 — multi-chip sharding.
+"""Appendix tutorial a3 — multi-chip sharding.
 
 Run on CPU with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
