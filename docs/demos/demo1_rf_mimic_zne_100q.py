@@ -8,6 +8,16 @@ table (reference hardware numbers: noisy 0.0656 → mimic 0.0348, ~1.9x).
 
 Run: python docs/demos/demo1_rf_mimic_zne_100q.py   (~5-10 min on CPU)
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from mlqem_tpu.device.registry import configurable_device

@@ -5,6 +5,16 @@ fake_lima data (reference hardware numbers: noisy 0.117 → mitigated 0.075).
 
 Run: python docs/demos/demo2_ising_4q.py   (~2-4 min on CPU)
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from mlqem_tpu.workflows.demos import demo2_ising_4q

@@ -7,6 +7,16 @@ noise settings, the compiled high-throughput label pipeline, and MBL data.
 The data engine replaces the reference's per-circuit Aer calls inside a
 multiprocessing pool with batched TPU programs.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
+
 import os
 
 import numpy as np

@@ -8,6 +8,16 @@ at an interior θ = 0.10π (interpolation) and an exterior θ = 0.30π
 Run: python docs/tutorials/07_generalization.py     (~2 min CPU)
 Set MLQEM_TUT_FAST=1 for a reduced smoke-test size.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
+
 import os
 
 from mlqem_tpu import get_device

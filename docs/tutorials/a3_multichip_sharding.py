@@ -4,6 +4,16 @@ Run on CPU with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python docs/tutorials/a3_multichip_sharding.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
+
 import jax
 import numpy as np
 
