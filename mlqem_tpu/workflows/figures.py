@@ -108,3 +108,35 @@ def figure_training_size_sweep(rows: Sequence[Dict],
     if save_path:
         fig.savefig(save_path, dpi=150)
     return fig
+
+
+def figure_paper_parity(table: Dict[str, Dict],
+                        save_path: Optional[str] = None):
+    """Ours-vs-published RMSE bars per noise setting (the published
+    single-Ising figure's table, ``paper_figures/*_single_ising.pk``).
+
+    ``table``: {setting: {"ours": {...}, "published": {...}}} as produced
+    by :func:`mlqem_tpu.workflows.paper_parity.single_ising_parity`.
+    """
+    plt = _plt()
+    settings = list(table)
+    models = ["noisy", "random_forest", "mlp", "ols", "gnn", "zne"]
+    fig, axes = plt.subplots(1, len(settings),
+                             figsize=(4.5 * len(settings), 4), sharey=False)
+    if len(settings) == 1:
+        axes = [axes]
+    for ax, s in zip(axes, settings):
+        ours = [table[s]["ours"].get(m, np.nan) for m in models]
+        pub = [table[s]["published"].get(m, np.nan) for m in models]
+        x = np.arange(len(models))
+        ax.bar(x - 0.2, ours, width=0.4, label="ours (simulated)")
+        ax.bar(x + 0.2, pub, width=0.4, label="published (hardware)")
+        ax.set_xticks(x)
+        ax.set_xticklabels(models, rotation=30, ha="right")
+        ax.set_title(s)
+        ax.set_ylabel("RMSE vs ideal")
+    axes[0].legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig

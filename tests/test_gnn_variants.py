@@ -79,3 +79,15 @@ def test_figures_render(tmp_path):
     import os
     for f in ("f1", "f2", "f3", "f4"):
         assert os.path.getsize(tmp_path / f"{f}.png") > 1000
+
+
+def test_figure_paper_parity(tmp_path):
+    from mlqem_tpu.workflows.figures import figure_paper_parity
+
+    table = {"incoherent": {
+        "ours": {"noisy": 0.05, "random_forest": 0.04, "mlp": 0.02,
+                 "ols": 0.05, "gnn": 0.037, "zne": 0.033},
+        "published": {"noisy": 0.172, "random_forest": 0.067, "mlp": 0.080,
+                      "ols": 0.119, "gnn": 0.130, "zne": 0.127}}}
+    f = figure_paper_parity(table, str(tmp_path / "parity.png"))
+    assert (tmp_path / "parity.png").exists()
