@@ -115,12 +115,17 @@ class NoiseModel:
     def from_device(cls, device: DeviceModel,
                     thermal_relaxation: bool = True,
                     depolarizing: bool = True,
-                    readout_error: bool = True) -> "NoiseModel":
+                    readout_error: bool = True,
+                    scale: float = 1.0) -> "NoiseModel":
         """``NoiseModel.from_backend`` parity.
 
         Per gate: depolarizing (strength solved so the composite hits the
         calibrated gate_error) composed with per-qubit thermal relaxation
         over the gate duration; symmetric readout confusion on measure.
+
+        ``scale`` multiplies every calibrated error input (gate_error,
+        gate duration, readout flip probability) — a "scale× noisier
+        device" knob for matching a published noise regime.
         """
         nm = cls(device.num_qubits)
         for key, props in device.gates.items():
@@ -129,10 +134,13 @@ class NoiseModel:
             nq = len(qubits)
             if gate == "rz" or props.gate_error == 0.0 and not thermal_relaxation:
                 continue
+            gate_error = min(props.gate_error * scale,
+                             1.0 - 4.0 ** (-nq))  # max infidelity
+            gate_length = props.gate_length * scale
             relax: Optional[Channel] = None
-            if thermal_relaxation and props.gate_length > 0:
+            if thermal_relaxation and gate_length > 0:
                 locals_ = [thermal_relaxation_channel(
-                    device.t1(q), device.t2(q), props.gate_length)
+                    device.t1(q), device.t2(q), gate_length)
                     for q in qubits]
                 if nq == 1:
                     relax = locals_[0]
@@ -141,16 +149,16 @@ class NoiseModel:
                                      for k0 in locals_[0].kraus
                                      for k1 in locals_[1].kraus])
             chan = relax
-            if depolarizing and props.gate_error > 0:
-                p = depol_param_for_target_error(props.gate_error, relax, nq)
+            if depolarizing and gate_error > 0:
+                p = depol_param_for_target_error(gate_error, relax, nq)
                 if p > 0:
-                    dep = depolarizing_channel(p, nq)
+                    dep = depolarizing_channel(min(p, 1.0), nq)
                     chan = dep if chan is None else dep.compose(chan)
             if chan is not None:
                 nm.add_quantum_error(chan, gate, qubits)
         if readout_error:
             for q in range(device.num_qubits):
-                p = device.readout_error(q)
+                p = min(device.readout_error(q) * scale, 0.5)
                 if p > 0:
                     nm.set_readout_error(q, readout_confusion(p))
         return nm
@@ -162,14 +170,20 @@ def add_coherent_cx_noise(device: DeviceModel,
                           add_depolarization: bool = True,
                           add_coherent: bool = True,
                           seed: Optional[int] = None,
-                          base: Optional[NoiseModel] = None) -> NoiseModel:
+                          base: Optional[NoiseModel] = None,
+                          scale: float = 1.0) -> NoiseModel:
     """``AddNoise.add_coherent_noise`` parity (``noise_utils.py:69-144``).
 
     Strips the device's CX errors and replaces them per coupling direction
     with coherent RX(π+θ) over-rotation (uniform θ, or per-edge θ ~ U[0, θ])
     optionally composed with depolarizing + thermal relaxation.
+
+    ``scale`` multiplies the incoherent parts (depolarizing strength,
+    relaxation duration) and the base model's channels; scale the coherent
+    angle by passing a scaled ``theta``.
     """
-    nm = (base or NoiseModel.from_device(device)).without_gate("cx")
+    nm = (base or NoiseModel.from_device(device, scale=scale)
+          ).without_gate("cx")
     rng = np.random.default_rng(seed)
     pairs = [p for p in device.coupling_map]
     thetas = ([theta] * len(pairs) if uniform
@@ -181,10 +195,11 @@ def add_coherent_cx_noise(device: DeviceModel,
         if add_depolarization:
             props = device.gate_props("cx", (a, b))
             relax0 = thermal_relaxation_channel(
-                device.t1(a), device.t2(a), props.gate_length)
+                device.t1(a), device.t2(a), props.gate_length * scale)
             relax1 = thermal_relaxation_channel(
-                device.t1(b), device.t2(b), props.gate_length)
-            dep = depolarizing_channel(props.gate_error, 2)
+                device.t1(b), device.t2(b), props.gate_length * scale)
+            dep = depolarizing_channel(min(props.gate_error * scale, 0.75),
+                                       2)
             extra = dep.compose(relax0.expand_to_2q(0)).compose(
                 relax1.expand_to_2q(1))
             chan = extra if chan is None else chan.compose(extra)

@@ -144,13 +144,24 @@ class ExponentialExtrapolator(Extrapolator):
 class ZNEStrategy:
     """Parity with the reference's canonical config
     (``zne_parallel.py:176-188``): noise_factors=(1, 3), local folding of
-    2q gates, polynomial(deg≤2)/linear extrapolation."""
+    2q gates, polynomial(deg≤2)/linear extrapolation.
+
+    ``num_twirls`` > 0 reproduces the hardware pipeline's
+    ``resilience_level=2`` semantics (``h31_submit_zne_hardware_100q_twirl``
+    Options cells + pec_runtime twirling): every folded circuit is expanded
+    into that many Pauli-twirl instances and their expectation values are
+    averaged before extrapolation. Twirling converts coherent gate errors
+    into stochastic Pauli noise, which folding amplifies multiplicatively —
+    without it, folding a *coherent* error can rotate instead of damp the
+    signal and ZNE extrapolates the wrong trend.
+    """
 
     noise_factors: Tuple[float, ...] = (1, 3)
     gates_to_fold: Optional[int] = 2
     extrapolator: Union[Extrapolator, str] = dataclasses.field(
         default_factory=LinearExtrapolator)
     folding: str = "local"  # or "global"
+    num_twirls: int = 0
 
     def __post_init__(self):
         if isinstance(self.extrapolator, str):
@@ -172,6 +183,22 @@ class ZNEStrategy:
             return fold_global(circuit, nf)
         return fold_gates(circuit, nf, self.gates_to_fold, seed)
 
+    def amplify_twirled(self, circuit: Circuit, nf: float,
+                        seed: int = 0) -> List[Circuit]:
+        """Folded circuit expanded into ``num_twirls`` twirl instances.
+
+        The twirl is sampled on the FOLDED circuit — each physical copy of
+        a folded gate is twirled independently, exactly as hardware twirls
+        the transpiled (already folded) circuit. With num_twirls == 0 this
+        is just ``[amplify(...)]``.
+        """
+        folded = self.amplify(circuit, nf, seed)
+        if self.num_twirls <= 0:
+            return [folded]
+        from .twirling import sample_twirled_circuits
+
+        return sample_twirled_circuits(folded, self.num_twirls, seed=seed)
+
 
 class ZNEEstimator(BaseEstimator):
     """Estimator wrapper running the full noise-factor sweep per circuit.
@@ -192,18 +219,22 @@ class ZNEEstimator(BaseEstimator):
         circuits, observables = _normalize_run_args(
             circuits, observables, parameter_values)
         nfs = list(strategy.noise_factors)
+        n_tw = max(strategy.num_twirls, 1)
         all_circs: List[Circuit] = []
         all_obs = []
-        for qc, obs in zip(circuits, observables):
+        for ci, (qc, obs) in enumerate(zip(circuits, observables)):
             for nf in nfs:
-                all_circs.append(strategy.amplify(qc, nf))
-                all_obs.append(obs)
+                for inst in strategy.amplify_twirled(qc, nf, seed=ci):
+                    all_circs.append(inst)
+                    all_obs.append(obs)
         base_res = self._base.run(all_circs, all_obs,
                                   **run_options).result()
-        vals = np.asarray(base_res.values).reshape(len(circuits), len(nfs))
+        # twirl-average before extrapolating (demo1's reshape(...).mean(-1))
+        vals = np.asarray(base_res.values).reshape(
+            len(circuits), len(nfs), n_tw).mean(axis=-1)
         out = np.array([strategy.extrapolator.extrapolate(nfs, row)
                         for row in vals])
-        meta = [{"zne": {"noise_factors": nfs,
+        meta = [{"zne": {"noise_factors": nfs, "num_twirls": n_tw,
                          "measured": row.tolist()}} for row in vals]
         return Job(EstimatorResult(out, meta))
 

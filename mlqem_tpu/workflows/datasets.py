@@ -32,20 +32,35 @@ from ..device.model import DeviceModel
 from ..device.noise import NoiseModel, add_coherent_cx_noise
 
 
-def noise_setting(device: DeviceModel, setting: str,
+def noise_setting(device: DeviceModel, setting,
                   theta: float = 0.05 * np.pi,
-                  seed: Optional[int] = None) -> NoiseModel:
+                  seed: Optional[int] = None,
+                  scale: float = 1.0) -> NoiseModel:
     """The reference's three noise settings (``h13``):
     'device' (FakeLima as-is), 'coherent' (CX over-rotation via AddNoise),
-    'no_readout' (RemoveReadoutErrors)."""
+    'no_readout' (RemoveReadoutErrors).
+
+    A prebuilt :class:`NoiseModel` passes through unchanged — use this to
+    share ONE noise realization (e.g. the coherent setting's per-edge
+    random thetas) across train/test/ZNE stages of an experiment.
+
+    ``scale`` is a global channel-strength multiplier (gate errors, gate
+    durations for relaxation, readout flip probability, over-rotation
+    angle) used to calibrate the simulated regime to a published noisy
+    baseline (see ``workflows/paper_parity.py``).
+    """
+    if isinstance(setting, NoiseModel):
+        return setting
     if setting == "device":
-        return NoiseModel.from_device(device)
+        return NoiseModel.from_device(device, scale=scale)
     if setting == "coherent":
-        return add_coherent_cx_noise(device, theta=theta, uniform=False,
+        return add_coherent_cx_noise(device, theta=theta * scale,
+                                     uniform=False,
                                      add_depolarization=True,
-                                     add_coherent=True, seed=seed)
+                                     add_coherent=True, seed=seed,
+                                     scale=scale)
     if setting == "no_readout":
-        return NoiseModel.from_device(device).without_readout()
+        return NoiseModel.from_device(device, scale=scale).without_readout()
     raise ValueError(f"unknown noise setting {setting!r}")
 
 

@@ -172,25 +172,43 @@ def train_mitigation_model(model, ds: LabeledDataset, device: DeviceModel,
 def zne_batch(ds: LabeledDataset, device: DeviceModel,
               strategy: Optional[ZNEStrategy] = None,
               noise: str = "device", shots: Optional[int] = 10000,
-              seed: int = 0) -> np.ndarray:
+              seed: int = 0,
+              num_twirls: Optional[int] = None) -> np.ndarray:
     """ZNE-mitigated per-qubit Z values for every circuit: [B, nq].
 
     The ``zne_parallel.py`` equivalent — ONE batched evolution of all
-    B × len(noise_factors) folded circuits serves every qubit's Z (vs the
-    reference's multiprocessing pool over circuits, :269-271, and vs
-    re-evolving per observable); all qubits read a shared shot record per
-    folded circuit (hardware counts semantics).
+    B × len(noise_factors) × max(num_twirls, 1) folded (and optionally
+    Pauli-twirled) circuits serves every qubit's Z (vs the reference's
+    multiprocessing pool over circuits, :269-271, and vs re-evolving per
+    observable); all qubits read a shared shot record per folded circuit
+    (hardware counts semantics).
+
+    ``num_twirls`` (or ``strategy.num_twirls``) > 0 composes twirling
+    with folding — the reference hardware pipeline's resilience_level=2
+    semantics (``h31`` Options cells): twirl instances of each folded
+    circuit are averaged before extrapolation. Required for coherent
+    noise, where folding an un-twirled coherent error extrapolates the
+    wrong trend. ``shots`` is per twirl instance (hardware runs each
+    instance as its own job).
     """
     from .datasets import _zq_labels
 
     nm = noise_setting(device, noise, seed=seed)
     strategy = strategy or ZNEStrategy(noise_factors=(1, 3))
+    if num_twirls is not None:
+        strategy = dataclasses.replace(strategy, num_twirls=num_twirls)
     nfs = list(strategy.noise_factors)
-    folded = [strategy.amplify(qc, nf) for qc in ds.circuits for nf in nfs]
+    n_tw = max(strategy.num_twirls, 1)
+    folded = [inst
+              for ci, qc in enumerate(ds.circuits)
+              for nf in nfs
+              for inst in strategy.amplify_twirled(qc, nf,
+                                                   seed=seed + ci)]
     _, noisy = _zq_labels(folded, device, nm, shots, seed,
                           ideal=False)
     nq = ds.ideal.shape[1]
-    vals = noisy.reshape(len(ds.circuits), len(nfs), nq)
+    # twirl-average, then extrapolate (demo1's reshape(...).mean(-1) step)
+    vals = noisy.reshape(len(ds.circuits), len(nfs), n_tw, nq).mean(axis=2)
     out = np.empty((len(ds.circuits), nq))
     for i in range(vals.shape[0]):
         for q in range(nq):
