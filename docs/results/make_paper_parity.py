@@ -1,0 +1,84 @@
+"""Reproducible paper-parity artifact generator.
+
+ONE command regenerates ``docs/results/paper_parity_table.json`` and the
+``paper_parity_*.png`` figures from scratch: all three published noise
+settings × 3 seeds through the full single-Ising protocol
+(``mlqem_tpu.workflows.paper_parity``), at the noise scales calibrated to
+the published noisy baselines (reference bundles:
+``/root/reference/docs/paper_figures/{incoherent,coherent,no_readout}_single_ising.pk``
+rendered by ``plot.ipynb``).
+
+Run:      python docs/results/make_paper_parity.py            (~TPU recommended)
+Refit:    python docs/results/make_paper_parity.py --calibrate
+Quick:    python docs/results/make_paper_parity.py --fast     (CI smoke scale)
+"""
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
+RESULTS_DIR = _os.path.dirname(_os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calibrate", action="store_true",
+                    help="refit the per-setting noise scales and print them")
+    ap.add_argument("--fast", action="store_true",
+                    help="reduced protocol (smoke scale, NOT the artifact)")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--out", default=_os.path.join(
+        RESULTS_DIR, "paper_parity_table.json"))
+    args = ap.parse_args()
+
+    from mlqem_tpu.workflows.paper_parity import (calibrate_noise_scale,
+                                                  paper_parity_study)
+
+    if args.calibrate:
+        for s in ("incoherent", "coherent", "no_readout"):
+            out = calibrate_noise_scale(s)
+            print(f"{s}: scale={out['scale']:.4f} "
+                  f"rmse={out['rmse']:.4f} target={out['target']:.3f}")
+        print("paste into workflows/paper_parity.py::CALIBRATED_SCALE")
+        return
+
+    kwargs = {}
+    if args.fast:
+        kwargs = dict(num_train=60, max_steps=10, num_test_steps=10,
+                      mlp_epochs=50, gnn_epochs=100, num_twirls=4)
+    t0 = time.time()
+    study = paper_parity_study(seeds=tuple(args.seeds), **kwargs)
+    study["protocol"] = {"fast": bool(args.fast),
+                         "wall_seconds": round(time.time() - t0, 1),
+                         **kwargs}
+    with open(args.out, "w") as f:
+        json.dump(study, f, indent=1)
+    print(f"wrote {args.out} ({time.time() - t0:.0f}s)")
+
+    from mlqem_tpu.workflows.figures import figure_paper_parity
+
+    table = {s: {"ours": v["ours_mean"], "published": v["published"]}
+             for s, v in study["settings"].items()}
+    png = _os.path.join(RESULTS_DIR, "paper_parity_figure.png")
+    figure_paper_parity(table, save_path=png)
+    print(f"wrote {png}")
+
+    for s, v in study["settings"].items():
+        print(f"\n[{s}] (noise_scale={v['noise_scale']}, "
+              f"num_twirls={v['num_twirls']})")
+        for m in sorted(v["ours_mean"]):
+            pub = v["published"].get(m)
+            pub_s = f" published={pub:.3f}" if pub is not None else ""
+            print(f"  {m:15s} ours={v['ours_mean'][m]:.4f}"
+                  f"±{v['ours_std'][m]:.4f}{pub_s}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,10 +65,17 @@ def run_density(ct: CircuitTensor, key_ids: jnp.ndarray,
     n = _sim_width(ct.num_qubits)
     dm = density_zero(ct.num_qubits) if dm0 is None else dm0
     mats = op_unitaries(ct.gate_ids, ct.params, dm.dtype)
-    # 32-bit at the host→device boundary (axon rejects 64-bit buffers)
-    if isinstance(noise_table, np.ndarray):
-        noise_table = noise_table.astype(np.complex64)
-    noise_table = jnp.asarray(noise_table).astype(dm.dtype)
+    # 32-bit at the host→device boundary (axon rejects 64-bit buffers) AND
+    # no complex across it either (axon cannot transfer complex64 in any
+    # direction — combine real/imag parts on device instead)
+    if isinstance(noise_table, tuple):
+        tr, ti = noise_table
+        noise_table = (jnp.asarray(tr) + 1j * jnp.asarray(ti)).astype(
+            dm.dtype)
+    else:
+        if isinstance(noise_table, np.ndarray):
+            noise_table = noise_table.astype(np.complex64)
+        noise_table = jnp.asarray(noise_table).astype(dm.dtype)
     key_ids = jnp.asarray(np.asarray(key_ids, np.int32)
                           if isinstance(key_ids, np.ndarray) else key_ids)
 
@@ -81,11 +88,23 @@ def run_density(ct: CircuitTensor, key_ids: jnp.ndarray,
     return dm
 
 
+def _split_complex_host(table) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host complex array → (real, imag) float32 device args.
+
+    The axon TPU platform cannot transfer complex64 host→device; complex
+    values must cross the boundary as float pairs and recombine in-jit.
+    """
+    t = np.asarray(table, np.complex64)
+    return (jnp.asarray(np.real(t).astype(np.float32)),
+            jnp.asarray(np.imag(t).astype(np.float32)))
+
+
 @partial(jax.jit, static_argnames=("num_qubits",))
-def _batched_density(gate_ids, qubits, params, key_ids, noise_table,
+def _batched_density(gate_ids, qubits, params, key_ids, table_r, table_i,
                      num_qubits):
     def one(g, q, p, k):
-        return run_density(CircuitTensor(g, q, p, num_qubits), k, noise_table)
+        return run_density(CircuitTensor(g, q, p, num_qubits), k,
+                           (table_r, table_i))
 
     return jax.vmap(one)(gate_ids, qubits, params, key_ids)
 
@@ -93,19 +112,18 @@ def _batched_density(gate_ids, qubits, params, key_ids, noise_table,
 def batch_density_matrices(ct: CircuitTensor, key_ids, noise_table
                            ) -> jnp.ndarray:
     """Density matrices for a circuit batch."""
+    tr, ti = _split_complex_host(noise_table)
     return _batched_density(ct.gate_ids, ct.qubits, ct.params,
                             jnp.asarray(np.asarray(key_ids, np.int32)),
-                            jnp.asarray(np.asarray(noise_table,
-                                                   np.complex64)),
-                            ct.num_qubits)
+                            tr, ti, ct.num_qubits)
 
 
 @partial(jax.jit, static_argnames=("num_qubits",))
-def _batched_density_from(gate_ids, qubits, params, key_ids, noise_table,
-                          dm0, num_qubits):
+def _batched_density_from(gate_ids, qubits, params, key_ids, table_r,
+                          table_i, dm0, num_qubits):
     def one(g, q, p, k, d):
         return run_density(CircuitTensor(g, q, p, num_qubits), k,
-                           noise_table, dm0=d)
+                           (table_r, table_i), dm0=d)
 
     return jax.vmap(one)(gate_ids, qubits, params, key_ids, dm0)
 
@@ -115,13 +133,15 @@ def batch_density_matrices_from(ct: CircuitTensor, key_ids, noise_table,
     """Evolve a batch of initial density matrices through a circuit batch.
 
     Used to apply per-group measurement-basis rotations (with their noise)
-    to already-evolved states in a single compiled call.
+    to already-evolved states in a single compiled call. ``dm0`` must be a
+    device-resident array (a previous jit's output) — only HOST complex
+    is barred from crossing to the device.
     """
+    tr, ti = _split_complex_host(noise_table)
     return _batched_density_from(
         ct.gate_ids, ct.qubits, ct.params,
         jnp.asarray(np.asarray(key_ids, np.int32)),
-        jnp.asarray(np.asarray(noise_table, np.complex64)),
-        dm0, ct.num_qubits)
+        tr, ti, dm0, ct.num_qubits)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ compiled program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -234,6 +235,77 @@ def expectation_zero_state(ts: TermSet) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # the kicked-Ising Heisenberg engine
 # ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _compiled_stepwise(nq: int, steps: int, K: int, W: int,
+                       qubits: Tuple[int, ...]):
+    """One jitted stepwise propagation program per (nq, steps, K, qubits).
+
+    Module-level cache (not per-engine): engine instances that differ only
+    in their noise model / noise factor share the executable — the damping
+    tables are a traced argument ``f_rev`` [n_bonds, 16] in backward bond
+    order (all-ones = ideal arm).
+    """
+    even = [(q, q + 1) for q in range(0, nq - 1, 2)]
+    odd = [(q, q + 1) for q in range(1, nq - 1, 2)]
+    bonds = even + odd
+    bonds_rev_np = np.asarray(bonds[::-1], np.int32)
+
+    def propagate(qubit, theta_j, theta_h, f_rev):
+        x = jnp.zeros((K, W), jnp.uint32)
+        z = jnp.zeros((K, W), jnp.uint32)
+        z = z.at[0, qubit // 32].set(jnp.asarray(np.uint32(1 << (qubit % 32))))
+        coeff = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
+        bonds_rev = jnp.asarray(bonds_rev_np)
+
+        def bond_step(carry, inp):
+            x, z, c, disc = carry
+            ab, f = inp
+            a, b = ab[0], ab[1]
+            ts = TermSet(x, z, c)
+            # forward: cx1 → noise1 → rz(θ_j, b) → cx2 → noise2; the
+            # backward (adjoint) order is the exact reverse — in particular
+            # noise1's damping applies to the observable as conjugated to
+            # its own site, i.e. BEFORE conjugating through cx1
+            ts = damp_pauli_channel(ts, a, b, f)      # noise2
+            ts = conj_cx(ts, a, b)                    # cx2
+            ts, d = rot_z(ts, b, theta_j, K)          # rz
+            ts = damp_pauli_channel(ts, a, b, f)      # noise1
+            ts = conj_cx(ts, a, b)                    # cx1
+            return (ts.x, ts.z, ts.coeff, disc + d), None
+
+        def kick_step(carry, q):
+            x, z, c, disc = carry
+            ts, d = rot_x(TermSet(x, z, c), q, theta_h, K)
+            return (ts.x, ts.z, ts.coeff, disc + d), None
+
+        qubits_rev = jnp.arange(nq - 1, -1, -1, dtype=jnp.int32)
+
+        def trotter_step_out(carry, _):
+            carry, _ = jax.lax.scan(bond_step, carry, (bonds_rev, f_rev))
+            carry, _ = jax.lax.scan(kick_step, carry, qubits_rev)
+            x, z, c, disc = carry
+            return carry, (expectation_zero_state(TermSet(x, z, c)), disc)
+
+        init = (x, z, coeff, jnp.float32(0.0))
+        _, (vals, discs) = jax.lax.scan(
+            trotter_step_out, init, None, length=steps)
+        # per-Trotter-step expectation + cumulative discarded weight so one
+        # compiled program serves every depth ≤ steps (step sweeps, and the
+        # truncation K-convergence audit)
+        return vals, discs
+
+    def run(theta_j, theta_h, f_rev):
+        vals, errs = [], []
+        for q in qubits:
+            v, d = propagate(q, theta_j, theta_h, f_rev)
+            vals.append(v)
+            errs.append(d)
+        # [steps, nq'] each
+        return jnp.stack(vals, axis=-1), jnp.stack(errs, axis=-1)
+
+    return jax.jit(jax.vmap(run, in_axes=(0, None, None)))
+
+
 class PauliPropagatorIsing:
     """Noisy ⟨Z_q⟩ for the TFIM Trotter family at 100Q+ via Pauli
     propagation with twirled device noise.
@@ -282,97 +354,30 @@ class PauliPropagatorIsing:
         self._readout = None
         if readout and nm is not None and nm.readout is not None:
             self._readout = nm.readout[:nq]
-        self._compiled: Dict[Tuple, object] = {}
-
-    def _initial_terms(self, qubit: int) -> TermSet:
-        x = jnp.zeros((self.K, self.W), jnp.uint32)
-        z = jnp.zeros((self.K, self.W), jnp.uint32)
-        z = z.at[0, qubit // 32].set(
-            jnp.asarray(np.uint32(1 << (qubit % 32))))
-        coeff = jnp.zeros((self.K,), jnp.float32).at[0].set(1.0)
-        return TermSet(x, z, coeff)
-
-    def _propagate(self, qubit: int, theta_j, theta_h, noise_scale):
-        """Backward propagation of Z_qubit through all Trotter steps.
-
-        Scans over bonds/qubits with traced indices so the compiled graph
-        size is independent of width and depth.
-        """
-        K = self.K
-        ts = self._initial_terms(qubit)
-        bonds_rev = jnp.asarray(self.bonds[::-1], jnp.int32)   # [nb, 2]
-        f_rev = jnp.stack([jnp.asarray(self._f_local[b])
-                           for b in self.bonds[::-1]])          # [nb, 16]
-
-        def bond_step(carry, inp):
-            x, z, c, disc = carry
-            ab, f16 = inp
-            a, b = ab[0], ab[1]
-            # sign-aware power: Pauli fidelities can be negative and the
-            # amplification exponent is a small integer (noise_scale is
-            # static), so (-f)^k keeps exact odd/even semantics
-            f = f16 ** noise_scale if isinstance(noise_scale, int) \
-                else jnp.sign(f16) ** noise_scale * jnp.abs(f16) ** noise_scale
-            ts = TermSet(x, z, c)
-            # forward: cx1 → noise1 → rz(θ_j, b) → cx2 → noise2; the
-            # backward (adjoint) order is the exact reverse — in particular
-            # noise1's damping applies to the observable as conjugated to
-            # its own site, i.e. BEFORE conjugating through cx1
-            ts = damp_pauli_channel(ts, a, b, f)      # noise2
-            ts = conj_cx(ts, a, b)                    # cx2
-            ts, d = rot_z(ts, b, theta_j, K)          # rz
-            ts = damp_pauli_channel(ts, a, b, f)      # noise1
-            ts = conj_cx(ts, a, b)                    # cx1
-            return (ts.x, ts.z, ts.coeff, disc + d), None
-
-        def kick_step(carry, q):
-            x, z, c, disc = carry
-            ts, d = rot_x(TermSet(x, z, c), q, theta_h, K)
-            return (ts.x, ts.z, ts.coeff, disc + d), None
-
-        qubits_rev = jnp.arange(self.nq - 1, -1, -1, dtype=jnp.int32)
-
-        def trotter_step(carry, _):
-            carry, _ = jax.lax.scan(bond_step, carry, (bonds_rev, f_rev))
-            carry, _ = jax.lax.scan(kick_step, carry, qubits_rev)
-            return carry, None
-
-        init = (ts.x, ts.z, ts.coeff, jnp.float32(0.0))
-
-        def trotter_step_out(carry, _):
-            carry, _ = trotter_step(carry, _)
-            x, z, c, disc = carry
-            return carry, (expectation_zero_state(TermSet(x, z, c)), disc)
-
-        _, (vals, discs) = jax.lax.scan(
-            trotter_step_out, init, None, length=self.steps)
-        # per-Trotter-step expectation + cumulative discarded weight so one
-        # compiled program serves every depth ≤ steps (step sweeps, and the
-        # truncation K-convergence audit)
-        return vals, discs
 
     def _run_stepwise(self, J_values, noise_scale, qubits
                       ) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw per-step values/discards: ([B, steps, nq'], [B, steps, nq'])."""
-        noise_scale = int(round(noise_scale))
-        key = ("gen", tuple(qubits), noise_scale)
-        if key not in self._compiled:
-            def run(theta_j, theta_h):
-                vals, errs = [], []
-                for q in qubits:
-                    v, d = self._propagate(q, theta_j, theta_h,
-                                           noise_scale)
-                    vals.append(v)
-                    errs.append(d)
-                # [steps, nq'] each
-                return jnp.stack(vals, axis=-1), jnp.stack(errs, axis=-1)
+        """Raw per-step values/discards: ([B, steps, nq'], [B, steps, nq']).
 
-            self._compiled[key] = jax.jit(jax.vmap(
-                run, in_axes=(0, None)))
+        The per-bond damping tables enter the compiled program as an
+        ARGUMENT with the amplification power applied host-side (sign-aware
+        integer power: Pauli fidelities can be negative, so (-f)^k keeps
+        exact odd/even semantics) — ONE compiled program per
+        (nq, steps, K, qubits) serves the ideal arm, every noise factor,
+        and every noise model. That matters on the axon tunnel, where each
+        compile costs 20-500s.
+        """
+        noise_scale = int(round(noise_scale))
+        fn = _compiled_stepwise(self.nq, self.steps, self.K, self.W,
+                                tuple(qubits))
+        f_rev = np.stack([self._f_local[b] for b in self.bonds[::-1]])
+        f_pow = np.sign(f_rev) ** noise_scale * \
+            np.abs(f_rev) ** noise_scale if noise_scale != 1 else f_rev
         theta_j = jnp.asarray(-2.0 * self.dt *
                               np.asarray(J_values, np.float32))
         theta_h = jnp.float32(2.0 * self.h * self.dt)
-        vals, errs = self._compiled[key](theta_j, theta_h)
+        vals, errs = fn(theta_j, theta_h,
+                        jnp.asarray(f_pow.astype(np.float32)))
         vals = np.asarray(vals)
         if self._readout is not None:
             p = np.array([self._readout[q][1, 0] + self._readout[q][0, 1]

@@ -44,14 +44,22 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          max_terms: int = 8192,
                          noise_factors=(1.0, 3.0),
                          n_estimators: int = 100,
-                         shot_noise: float = 0.006,
+                         shots: Optional[int] = 10000,
+                         num_twirls: int = 5,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape.
 
     Samples: (step, J) grid like the hardware campaign (Trotter-step ×
     J sweep); 5 single-Z observables; per-qubit RandomForest(100) mimics.
-    ``shot_noise``: Gaussian measurement noise added to the simulated
-    'hardware' values (10k-shot scale ≈ 0.01/√(nf·twirls)).
+
+    Measurement statistics are REAL binomial shot sampling, matching the
+    hardware campaign's ``shots`` per twirl instance × ``num_twirls``
+    twirl instances per (step, J) point (h31: 10000 shots, 5 twirls,
+    demo1's ``reshape(n,5,5).mean(-1)`` average): the propagated noisy
+    ⟨Z_q⟩ (readout already applied) gives the per-qubit outcome
+    probability p₁ = (1−z)/2, and each measured value is
+    Binomial(shots·num_twirls, p₁)/(shots·num_twirls) rescaled to [−1, 1].
+    ``shots=None`` disables sampling (exact twirled-channel values).
 
     The default depth is 5: the K-doubling audit
     (:func:`truncation_convergence`) shows the demo config's values are
@@ -78,14 +86,24 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     ideal_sw = eng_ideal.generate_stepwise(J_arr, qubits=qubits)[0]
     max_disc = max(float(err1.max()), float(err3.max()))
 
+    def sample_shots(z):
+        """Binomial measurement of ⟨Z_q⟩: hardware counts semantics.
+
+        The propagated value (readout confusion already applied) fixes the
+        per-qubit outcome probability p₁ = (1−z)/2; shots·num_twirls
+        independent measurements are drawn and the estimate is rescaled.
+        """
+        if shots is None:
+            return z
+        n = int(shots) * max(int(num_twirls), 1)
+        p1 = np.clip((1.0 - z) / 2.0, 0.0, 1.0)
+        return 1.0 - 2.0 * rng.binomial(n, p1) / n
+
     rows = []
     for step in range(1, num_steps + 1):
-        noisy = noisy_sw[:, step - 1, :]
-        amp = amp_sw[:, step - 1, :]
+        noisy = sample_shots(noisy_sw[:, step - 1, :])
+        amp = sample_shots(amp_sw[:, step - 1, :])
         ideal = ideal_sw[:, step - 1, :]
-        # simulated shot noise on the 'measured' values
-        noisy = noisy + rng.normal(0, shot_noise, noisy.shape)
-        amp = amp + rng.normal(0, shot_noise, amp.shape)
         # demo1's linear extrapolation: nf1 − (nf3 − nf1)/2
         zne = noisy - (amp - noisy) / 2.0
         for i, J in enumerate(all_J):

@@ -13,12 +13,18 @@ set. Published RMSEs vs ideal (computed from those bundles):
 :func:`single_ising_parity` reproduces the experiment shape end-to-end on
 this framework's simulators (train on randomized (J, steps) Trotter
 circuits, test on a deeper step sweep, 10k shots) and reports our RMSE
-table next to the published anchors.
+table next to the published anchors. The simulated noise regime is
+calibrated to the published noisy baseline via a global channel-strength
+multiplier (:func:`calibrate_noise_scale` → :data:`CALIBRATED_SCALE`), so
+every column is a like-for-like comparison, not just the improvement
+factors. :func:`paper_parity_study` is the one-command reproducible
+artifact generator (all settings × seeds, full precision — the
+``docs/results/paper_parity_table.json`` producer).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +35,7 @@ from ..metrics import rmse
 from ..models.forest import RandomForestRegressor
 from ..models.linear import LinearRegression
 from ..models.mlp import MLP1
-from .datasets import ising_dataset, ising_step_sweep
+from .datasets import ising_dataset, ising_step_sweep, noise_setting
 from .mitigate import encode_dataset, zne_batch
 
 PUBLISHED = {
@@ -44,6 +50,33 @@ PUBLISHED = {
 _SETTING_MAP = {"incoherent": "device", "coherent": "coherent",
                 "no_readout": "no_readout"}
 
+# Global channel-strength multipliers fitted by calibrate_noise_scale()
+# (docs/results/make_paper_parity.py --calibrate) so the NOISY arm of the
+# default parity protocol reproduces the published noisy RMSE per setting.
+# FakeLima's calibration data alone gives a regime ~3x weaker than the
+# hardware runs behind the published bundles.
+CALIBRATED_SCALE: Dict[str, float] = {
+    "incoherent": 4.0876,   # noisy RMSE 0.1701 vs published 0.172
+    "coherent": 4.0876,     # noisy RMSE 0.2657 vs published 0.268
+    "no_readout": 5.4760,   # noisy RMSE 0.1514 vs published 0.151
+}
+
+
+def _experiment_noise(setting: str, device: DeviceModel,
+                      noise_scale: Optional[float],
+                      noise_seed: int = 0):
+    """ONE noise-model realization for a whole experiment.
+
+    Train, test and ZNE stages must see the same channels — the coherent
+    setting's per-edge over-rotation angles are random, and resampling
+    them per stage would both break model transfer and mis-state what the
+    models learned.
+    """
+    if noise_scale is None:
+        noise_scale = CALIBRATED_SCALE.get(setting, 1.0)
+    return noise_setting(device, _SETTING_MAP[setting], seed=noise_seed,
+                         scale=noise_scale), float(noise_scale)
+
 
 def single_ising_parity(setting: str = "incoherent",
                         device: Optional[DeviceModel] = None,
@@ -54,15 +87,28 @@ def single_ising_parity(setting: str = "incoherent",
                         mlp_epochs: int = 200,
                         gnn_epochs: int = 400,
                         run_zne: bool = True,
+                        num_twirls: int = 8,
+                        noise_scale: Optional[float] = None,
+                        noise_seed: int = 0,
                         seed: int = 0) -> Dict:
-    """Re-run the single-Ising experiment; returns ours-vs-published RMSEs."""
+    """Re-run the single-Ising experiment; returns ours-vs-published RMSEs.
+
+    ``noise_scale=None`` uses the calibrated per-setting scale
+    (:data:`CALIBRATED_SCALE`) so the noisy baseline matches the published
+    regime. The ``zne`` arm composes Pauli twirling with folding
+    (``num_twirls`` instances per folded circuit — the hardware pipeline's
+    resilience_level=2 semantics, ``h31`` Options cells); ``zne_untwirled``
+    records what plain folding alone would give (the reference's simulated
+    ZNE, ``zne_parallel.py:176-188``).
+    """
     device = device or get_device("fake_lima")
-    noise = _SETTING_MAP[setting]
+    nm, noise_scale = _experiment_noise(setting, device, noise_scale,
+                                        noise_seed)
     ops = IsingOptions.config_4q_paper()
     train = ising_dataset(device, options=ops, num_circuits=num_train,
-                          steps_range=(0, max_steps + 1), noise=noise,
+                          steps_range=(0, max_steps + 1), noise=nm,
                           shots=shots, seed=seed)
-    test = ising_step_sweep(device, ops, num_test_steps, noise=noise,
+    test = ising_step_sweep(device, ops, num_test_steps, noise=nm,
                             shots=shots, seed=seed + 1)
     Xtr, ytr = encode_dataset(train, device)
     Xte, yte = encode_dataset(test, device)
@@ -109,17 +155,117 @@ def single_ising_parity(setting: str = "incoherent",
     ours["gnn"] = float(rmse(gpred, yte))
 
     if run_zne:
-        zne_vals = zne_batch(test, device, noise=noise, shots=shots,
-                             seed=seed + 2)
+        zne_vals = zne_batch(test, device, noise=nm, shots=shots,
+                             seed=seed + 2, num_twirls=num_twirls)
         ours["zne"] = float(rmse(zne_vals, test.ideal))
+        plain = zne_batch(test, device, noise=nm, shots=shots,
+                          seed=seed + 2, num_twirls=0)
+        ours["zne_untwirled"] = float(rmse(plain, test.ideal))
 
+    pub = PUBLISHED[setting]
     return {
         "setting": setting,
+        "noise_scale": noise_scale,
+        "num_twirls": num_twirls,
+        "seed": seed,
         "ours": ours,
-        "published": PUBLISHED[setting],
+        "published": pub,
         "improvement_ours": {k: ours["noisy"] / v
                              for k, v in ours.items() if k != "noisy"},
-        "improvement_published": {
-            k: PUBLISHED[setting]["noisy"] / v
-            for k, v in PUBLISHED[setting].items() if k != "noisy"},
+        "improvement_published": {k: pub["noisy"] / v
+                                  for k, v in pub.items() if k != "noisy"},
     }
+
+
+def noisy_rmse_at_scale(setting: str, scale: float,
+                        device: Optional[DeviceModel] = None,
+                        num_test_steps: int = 30,
+                        shots: Optional[int] = 10000,
+                        noise_seed: int = 0, seed: int = 0) -> float:
+    """The parity protocol's NOISY-arm RMSE at one noise scale (the
+    calibration objective — same test set as :func:`single_ising_parity`)."""
+    device = device or get_device("fake_lima")
+    nm, _ = _experiment_noise(setting, device, scale, noise_seed)
+    test = ising_step_sweep(device, IsingOptions.config_4q_paper(),
+                            num_test_steps, noise=nm, shots=shots,
+                            seed=seed + 1)
+    return float(rmse(test.noisy, test.ideal))
+
+
+def calibrate_noise_scale(setting: str,
+                          target: Optional[float] = None,
+                          device: Optional[DeviceModel] = None,
+                          lo: float = 0.25, hi: float = 16.0,
+                          iters: int = 12, tol: float = 0.02,
+                          **kwargs) -> Dict:
+    """Fit the global channel-strength scale so the noisy-arm RMSE matches
+    the published noisy baseline (bisection in log-scale; RMSE is monotone
+    increasing in scale).
+
+    Returns {"scale", "rmse", "target", "history"}; ``tol`` is relative.
+    """
+    target = target if target is not None else PUBLISHED[setting]["noisy"]
+    device = device or get_device("fake_lima")
+    history = []
+
+    def f(s):
+        r = noisy_rmse_at_scale(setting, s, device, **kwargs)
+        history.append({"scale": float(s), "rmse": float(r)})
+        return r
+
+    r_lo, r_hi = f(lo), f(hi)
+    if not (r_lo <= target <= r_hi):
+        raise ValueError(
+            f"target {target} outside achievable range "
+            f"[{r_lo:.4f}, {r_hi:.4f}] for scales [{lo}, {hi}]")
+    llo, lhi = np.log(lo), np.log(hi)
+    mid, r_mid = lo, r_lo
+    for _ in range(iters):
+        mid = float(np.exp((llo + lhi) / 2))
+        r_mid = f(mid)
+        if abs(r_mid - target) / target <= tol:
+            break
+        if r_mid < target:
+            llo = np.log(mid)
+        else:
+            lhi = np.log(mid)
+    return {"setting": setting, "scale": float(mid), "rmse": float(r_mid),
+            "target": float(target), "history": history}
+
+
+def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
+                                                  "no_readout"),
+                       seeds: Sequence[int] = (0, 1, 2),
+                       **kwargs) -> Dict:
+    """The complete, reproducible paper-parity artifact: every setting ×
+    seed through :func:`single_ising_parity`, aggregated to mean ± std with
+    improvement factors, next to the published anchors.
+
+    This is what ``docs/results/make_paper_parity.py`` runs; the schema is
+    asserted by ``tests/test_workflows.py::test_paper_parity_schema``.
+    """
+    out: Dict = {"schema": "paper_parity/v2", "seeds": list(seeds),
+                 "settings": {}}
+    for setting in settings:
+        runs = [single_ising_parity(setting, seed=s, **kwargs)
+                for s in seeds]
+        models = sorted(runs[0]["ours"])
+        mean = {m: float(np.mean([r["ours"][m] for r in runs]))
+                for m in models}
+        std = {m: float(np.std([r["ours"][m] for r in runs]))
+               for m in models}
+        out["settings"][setting] = {
+            "noise_scale": runs[0]["noise_scale"],
+            "num_twirls": runs[0]["num_twirls"],
+            "published": PUBLISHED[setting],
+            "ours_mean": mean,
+            "ours_std": std,
+            "improvement_ours": {m: mean["noisy"] / mean[m]
+                                 for m in models if m != "noisy"},
+            "improvement_published": {
+                k: PUBLISHED[setting]["noisy"] / v
+                for k, v in PUBLISHED[setting].items() if k != "noisy"},
+            "per_seed": [{"seed": r["seed"], "ours": r["ours"]}
+                         for r in runs],
+        }
+    return out
