@@ -19,17 +19,19 @@ from mlqem_tpu.device.registry import configurable_device
 from mlqem_tpu.ops.pauli_prop import PauliPropagatorIsing
 from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
 
-dev = configurable_device(100, seed=0)
+FAST = bool(_os.environ.get("MLQEM_TUT_FAST"))   # CI smoke scale
+NQ, K = (40, 2048) if FAST else (100, 8192)
+dev = configurable_device(NQ, seed=0)
 
 # noisy 100Q TFIM <Z_q> directly
-pp = PauliPropagatorIsing(dev, nq=100, steps=4, dt=0.5, h=0.66 * np.pi,
-                          max_terms=8192)
+pp = PauliPropagatorIsing(dev, nq=NQ, steps=4, dt=0.5, h=0.66 * np.pi,
+                          max_terms=K)
 vals, disc = pp.generate(np.array([0.15], np.float32),
-                         qubits=[0, 25, 50, 75, 99])
-print("100Q noisy <Z>:", np.round(vals[0], 4),
+                         qubits=[0, NQ // 4, NQ // 2, 3 * NQ // 4, NQ - 1])
+print(f"{NQ}Q noisy <Z>:", np.round(vals[0], 4),
       "| truncation weight:", np.round(disc[0].max(), 4))
 
 # the full demo1 mimicry pipeline (reduced steps for tutorial runtime)
-out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=3, max_terms=4096)
+out = demo1_zne_mimic_100q(device=dev, nq=NQ, num_steps=3, max_terms=K // 2)
 print(f"demo1: rmse noisy {out['rmse_noisy']:.4f} | "
       f"zne {out['rmse_zne']:.4f} | mimic {out['rmse_mimic']:.4f}")

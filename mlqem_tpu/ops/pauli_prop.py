@@ -235,15 +235,24 @@ def expectation_zero_state(ts: TermSet) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # the kicked-Ising Heisenberg engine
 # ---------------------------------------------------------------------------
+# Empirical axon-TPU budget: one program whose total term-row count
+# (batch × observable-qubits × K) exceeds ~2^18 hard-crashes the TPU
+# worker ("kernel fault" — the giant batched top_k/sort). Probed 2026-08:
+# 3·65536 and 1·262144 run, 5·65536 and 1·524288 kill the worker.
+# _run_stepwise chunks host-side so every device call stays under this.
+_ROW_BUDGET = 262144
+
+
 @functools.lru_cache(maxsize=None)
-def _compiled_stepwise(nq: int, steps: int, K: int, W: int,
-                       qubits: Tuple[int, ...]):
-    """One jitted stepwise propagation program per (nq, steps, K, qubits).
+def _compiled_stepwise(nq: int, steps: int, K: int, W: int):
+    """One jitted stepwise propagation program per (nq, steps, K).
 
     Module-level cache (not per-engine): engine instances that differ only
     in their noise model / noise factor share the executable — the damping
     tables are a traced argument ``f_rev`` [n_bonds, 16] in backward bond
-    order (all-ones = ideal arm).
+    order (all-ones = ideal arm), and the observable qubits are a traced
+    int32 argument (jit re-specializes only on the CHUNK SHAPE, so every
+    arm and every qubit set reuses one executable per shape).
     """
     even = [(q, q + 1) for q in range(0, nq - 1, 2)]
     odd = [(q, q + 1) for q in range(1, nq - 1, 2)]
@@ -251,9 +260,11 @@ def _compiled_stepwise(nq: int, steps: int, K: int, W: int,
     bonds_rev_np = np.asarray(bonds[::-1], np.int32)
 
     def propagate(qubit, theta_j, theta_h, f_rev):
+        qubit = jnp.asarray(qubit, jnp.int32)
         x = jnp.zeros((K, W), jnp.uint32)
         z = jnp.zeros((K, W), jnp.uint32)
-        z = z.at[0, qubit // 32].set(jnp.asarray(np.uint32(1 << (qubit % 32))))
+        bit = jnp.left_shift(jnp.uint32(1), (qubit % 32).astype(jnp.uint32))
+        z = z.at[0, qubit // 32].set(bit)
         coeff = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
         bonds_rev = jnp.asarray(bonds_rev_np)
 
@@ -294,16 +305,17 @@ def _compiled_stepwise(nq: int, steps: int, K: int, W: int,
         # truncation K-convergence audit)
         return vals, discs
 
-    def run(theta_j, theta_h, f_rev):
-        vals, errs = [], []
-        for q in qubits:
-            v, d = propagate(q, theta_j, theta_h, f_rev)
-            vals.append(v)
-            errs.append(d)
-        # [steps, nq'] each
-        return jnp.stack(vals, axis=-1), jnp.stack(errs, axis=-1)
+    def run(q_arr, theta_j, theta_h, f_rev):
+        # vmap over the observable qubits instead of unrolling them: one
+        # batched propagation. (The 5x-unrolled program at K>=65536
+        # hard-crashes the axon TPU worker; the batched form is also the
+        # better mapping — [Q, K] sorts batch onto the chip.)
+        vals, errs = jax.vmap(propagate, in_axes=(0, None, None, None))(
+            q_arr, theta_j, theta_h, f_rev)
+        # [Q, steps] each → [steps, nq']
+        return vals.T, errs.T
 
-    return jax.jit(jax.vmap(run, in_axes=(0, None, None)))
+    return jax.jit(jax.vmap(run, in_axes=(None, 0, None, None)))
 
 
 class PauliPropagatorIsing:
@@ -362,23 +374,47 @@ class PauliPropagatorIsing:
         The per-bond damping tables enter the compiled program as an
         ARGUMENT with the amplification power applied host-side (sign-aware
         integer power: Pauli fidelities can be negative, so (-f)^k keeps
-        exact odd/even semantics) — ONE compiled program per
-        (nq, steps, K, qubits) serves the ideal arm, every noise factor,
-        and every noise model. That matters on the axon tunnel, where each
-        compile costs 20-500s.
+        exact odd/even semantics), and the observable qubits are a traced
+        argument too — ONE compiled program per (nq, steps, K, chunk shape)
+        serves the ideal arm, every noise factor, every noise model, and
+        every qubit set. That matters on the axon tunnel, where each
+        compile costs 20-500s. Work is chunked over (batch, qubits) so no
+        single device call exceeds ``_ROW_BUDGET`` total term rows (the
+        axon worker hard-crashes above ~2^18).
         """
         noise_scale = int(round(noise_scale))
-        fn = _compiled_stepwise(self.nq, self.steps, self.K, self.W,
-                                tuple(qubits))
+        fn = _compiled_stepwise(self.nq, self.steps, self.K, self.W)
         f_rev = np.stack([self._f_local[b] for b in self.bonds[::-1]])
         f_pow = np.sign(f_rev) ** noise_scale * \
             np.abs(f_rev) ** noise_scale if noise_scale != 1 else f_rev
-        theta_j = jnp.asarray(-2.0 * self.dt *
-                              np.asarray(J_values, np.float32))
+        f_dev = jnp.asarray(f_pow.astype(np.float32))
+        theta_np = -2.0 * self.dt * np.asarray(J_values, np.float32)
         theta_h = jnp.float32(2.0 * self.h * self.dt)
-        vals, errs = fn(theta_j, theta_h,
-                        jnp.asarray(f_pow.astype(np.float32)))
-        vals = np.asarray(vals)
+        q_np = np.asarray(qubits, np.int32)
+        B, Q = len(theta_np), len(q_np)
+
+        # chunk so every device call stays under the axon row budget
+        # (see _ROW_BUDGET); chunks are PADDED to one fixed shape so a
+        # whole sweep reuses a single executable per (Bc, Qc)
+        Qc = max(1, min(Q, _ROW_BUDGET // self.K))
+        Bc = max(1, min(B, _ROW_BUDGET // (self.K * Qc)))
+        vals = np.empty((B, self.steps, Q), np.float32)
+        errs = np.empty((B, self.steps, Q), np.float32)
+        for b0 in range(0, B, Bc):
+            th = theta_np[b0:b0 + Bc]
+            nb = len(th)
+            if nb < Bc:
+                th = np.concatenate([th, np.repeat(th[-1:], Bc - nb)])
+            for q0 in range(0, Q, Qc):
+                qs = q_np[q0:q0 + Qc]
+                nq_ = len(qs)
+                if nq_ < Qc:
+                    qs = np.concatenate([qs, np.repeat(qs[-1:], Qc - nq_)])
+                v, e = fn(jnp.asarray(qs), jnp.asarray(th), theta_h, f_dev)
+                vals[b0:b0 + nb, :, q0:q0 + nq_] = \
+                    np.asarray(v)[:nb, :, :nq_]
+                errs[b0:b0 + nb, :, q0:q0 + nq_] = \
+                    np.asarray(e)[:nb, :, :nq_]
         if self._readout is not None:
             p = np.array([self._readout[q][1, 0] + self._readout[q][0, 1]
                           for q in qubits], np.float32) / 2.0

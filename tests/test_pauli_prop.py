@@ -154,6 +154,21 @@ def test_truncation_convergence_audit():
         assert drift[0].max() >= drift[-1].max() - 1e-9
 
 
+def test_row_budget_chunking_matches_monolithic(monkeypatch):
+    """Host-side (batch × qubit) chunking under the axon row budget must
+    reproduce the single-call result exactly (padding sliced away)."""
+    import mlqem_tpu.ops.pauli_prop as mod
+
+    J = np.array([0.1, 0.25, 0.4], np.float32)
+    pp = PauliPropagatorIsing(DEV, nq=4, steps=3, dt=0.5, max_terms=512)
+    full, dfull = pp.generate_stepwise(J, noise_scale=1)
+    # force Bc=1, Qc=2 chunks (ragged in both axes: B=3, Q=4 → pads)
+    monkeypatch.setattr(mod, "_ROW_BUDGET", 2 * 512)
+    chunked, dchunk = pp.generate_stepwise(J, noise_scale=1)
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
+    np.testing.assert_allclose(dchunk, dfull, atol=1e-6)
+
+
 def test_compiled_cache_keyed_on_qubit_set():
     """Same-length but different qubit tuples must not share a program."""
     pp = PauliPropagatorIsing(DEV, nq=4, steps=2, dt=0.5, max_terms=1024,

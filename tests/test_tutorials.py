@@ -17,6 +17,9 @@ TUTORIALS = [
     "05_stability_over_time.py",
     "06_scalability.py",
     "07_generalization.py",
+    "a1_simulation_engines.py",
+    "a2_scale_100q.py",
+    "a3_multichip_sharding.py",
 ]
 
 TUT_DIR = os.path.join(os.path.dirname(__file__), "..", "docs", "tutorials")
@@ -30,4 +33,4 @@ def test_tutorial_runs(script, capsys, monkeypatch):
     assert out.strip(), f"{script} printed nothing"
     # every tutorial ends by printing its headline metric line
     assert any(key in out for key in
-               ("RMSE", "rmse", "circuits/sec", "gap", "error")), out
+               ("RMSE", "rmse", "circuits/sec", "gap", "error", "<Z")), out
