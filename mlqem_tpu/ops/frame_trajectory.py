@@ -268,3 +268,160 @@ def run_frame_trajectories_probs(ct_struct: CircuitTensor,
     qubs = tuple(tuple(int(x) for x in row)
                  for row in np.asarray(ct_struct.qubits).reshape(-1, 2))
     return _run_frame_batch(params, choices, gids, qubs, num_qubits)
+
+
+# ---------------------------------------------------------------------------
+# fused marginal path (Pallas kernel on TPU)
+# ---------------------------------------------------------------------------
+def _build_plan(gate_ids: np.ndarray, qubits: np.ndarray):
+    """Static kernel plan + per-rotation angle metadata.
+
+    Returns (plan, rot_meta): plan is a tuple of (kind, a, b, theta_slot)
+    for :func:`mlqem_tpu.ops.pallas.frame_evolve.evolve_frame_marginals`;
+    rot_meta is a list of (op_index, axis, fixed_angle_or_None) — one entry
+    per theta slot, in op order (the sign-folded angle stream's columns).
+    """
+    from .pallas import frame_evolve as fe
+
+    plan = []
+    rot_meta = []
+    kind_1q = {"x": fe.ROT_X, "y": fe.ROT_Y, "z": fe.ROT_Z}
+    cliff = {_CX: fe.GATE_CX, _CY: fe.GATE_CY, _CZ: fe.GATE_CZ,
+             _SWAP: fe.GATE_SWAP}
+    for l, g in enumerate(gate_ids):
+        g = int(g)
+        a, b = int(qubits[l, 0]), int(qubits[l, 1])
+        if g in _ID_NOP:
+            continue
+        if g in _CLIFF2:
+            plan.append((cliff[g], a, b, -1))
+        elif g == _H:
+            plan.append((fe.GATE_H, a, b, -1))
+        elif g == _RZZ:
+            plan.append((fe.ROT_ZZ, a, b, len(rot_meta)))
+            rot_meta.append((l, "zz", None))
+        else:
+            axis, fixed = _ROTATIONS[g]
+            plan.append((kind_1q[axis], a, b, len(rot_meta)))
+            rot_meta.append((l, axis, fixed))
+    return tuple(plan), rot_meta
+
+
+def _frame_walk(gate_ids: np.ndarray, qubits: np.ndarray, rot_meta,
+                choices: jnp.ndarray):
+    """Integer-only frame evolution: rotation signs + final X mask.
+
+    choices int32 [..., L] → (signs f32 [..., n_rot] ∈ {±1} in theta-slot
+    order, fx int32 [...]). Mirrors the frame updates of :func:`_run_frame`
+    exactly (gate conjugation, then the sampled noise Pauli) without
+    touching the state — the state work moves to the fused Pallas kernel.
+    """
+    L = gate_ids.shape[0]
+    lead = choices.shape[:-1]
+    fx = jnp.zeros(lead, jnp.int32)
+    fz = jnp.zeros(lead, jnp.int32)
+    xa_t, za_t = jnp.asarray(XBIT_A), jnp.asarray(ZBIT_A)
+    xb_t, zb_t = jnp.asarray(XBIT_B), jnp.asarray(ZBIT_B)
+    rot_slot = {l: i for i, (l, _, _) in enumerate(rot_meta)}
+    axis_of = {l: ax for (l, ax, _) in rot_meta}
+
+    def local_code(mx, mz, q):
+        xb = (mx >> q) & 1
+        zb = (mz >> q) & 1
+        return jnp.where(xb == 1, jnp.where(zb == 1, 2, 1),
+                         jnp.where(zb == 1, 3, 0))
+
+    signs = []
+    for l in range(L):
+        g = int(gate_ids[l])
+        a, b = int(qubits[l, 0]), int(qubits[l, 1])
+        if g in _ID_NOP:
+            pass
+        elif g in _CLIFF2:
+            code_f = 4 * local_code(fx, fz, a) + local_code(fx, fz, b)
+            nc = jnp.asarray(_CLIFF2_CODES[g])[code_f]
+            clear = np.int32(~((1 << a) | (1 << b)) & 0x7fffffff)
+            fx = (fx & clear) | (jnp.asarray(XBIT_A)[nc] << a) \
+                | (jnp.asarray(XBIT_B)[nc] << b)
+            fz = (fz & clear) | (jnp.asarray(ZBIT_A)[nc] << a) \
+                | (jnp.asarray(ZBIT_B)[nc] << b)
+        elif g == _H:
+            d = ((fx ^ fz) >> a) & 1
+            fx = fx ^ (d << a)
+            fz = fz ^ (d << a)
+        else:
+            axis = axis_of[l]
+            if axis == "zz":
+                anti = ((fx >> a) ^ (fx >> b)) & 1
+            elif axis == "x":
+                anti = (fz >> a) & 1
+            elif axis == "z":
+                anti = (fx >> a) & 1
+            else:
+                anti = ((fx ^ fz) >> a) & 1
+            signs.append(1.0 - 2.0 * anti.astype(jnp.float32))
+        code = choices[..., l]
+        fx = fx ^ (xa_t[code] << a) ^ (xb_t[code] << b)
+        fz = fz ^ (za_t[code] << a) ^ (zb_t[code] << b)
+    if signs:
+        return jnp.stack(signs, axis=-1), fx
+    return jnp.zeros(lead + (0,), jnp.float32), fx
+
+
+@partial(jax.jit, static_argnames=("gids", "qubs", "num_qubits",
+                                   "interpret"))
+def _run_frame_marginals(params, choices, confusion, gids, qubs,
+                         num_qubits, interpret=False):
+    from .pallas.frame_evolve import evolve_frame_marginals
+
+    gate_ids = np.asarray(gids, np.int32)
+    qubits = np.asarray(qubs, np.int32)
+    plan, rot_meta = _build_plan(gate_ids, qubits)
+    B, T, L = choices.shape
+    R = len(rot_meta)
+
+    signs, fx = _frame_walk(gate_ids, qubits, rot_meta, choices)  # [B,T,R]
+    # per-circuit base angles in theta-slot order
+    cols = [params[:, l, 0] if fixed is None else
+            jnp.full((B,), np.float32(fixed))
+            for (l, _, fixed) in rot_meta]
+    theta_circ = (jnp.stack(cols, axis=-1) if R else
+                  jnp.zeros((B, 0), jnp.float32))            # [B, R]
+    theta_eff = (signs * theta_circ[:, None, :]).reshape(B * T, R)
+
+    p1 = evolve_frame_marginals(theta_eff, plan, num_qubits,
+                                interpret=interpret)          # [B·T, nq]
+    p1 = p1.reshape(B, T, num_qubits)
+    # frame X mask: X_q flips the measured bit → p1 ↔ p0
+    fxbit = ((fx[..., None] >> jnp.arange(num_qubits)) & 1) \
+        .astype(jnp.float32)
+    p1 = p1 + fxbit * (1.0 - 2.0 * p1)
+    if confusion is not None:
+        m = jnp.asarray(confusion, jnp.float32)   # [nq, 2, 2] M[meas, true]
+        p1 = m[None, None, :, 1, 0] * (1.0 - p1) \
+            + m[None, None, :, 1, 1] * p1
+    return 1.0 - 2.0 * p1                                    # <Z_q>
+
+
+def run_frame_trajectories_z(ct_struct: CircuitTensor,
+                             params: jnp.ndarray,
+                             choices: jnp.ndarray,
+                             n_traj: int,
+                             num_qubits: int,
+                             confusion=None,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Per-qubit physical ⟨Z_q⟩ (readout applied): [B, T, nq].
+
+    The fused-marginal contract: equivalent to
+    ``z_expectations(apply_readout_confusion(run_frame_trajectories_probs(
+    …)))`` but the state never leaves the Pallas kernel's VMEM — only the
+    sign-folded angle stream goes in and [B, T, nq] marginals come out.
+    Exact (not approximate): the frame X mask and per-qubit readout
+    confusion both act on per-qubit marginals independently.
+    """
+    gids = tuple(int(g) for g in np.asarray(ct_struct.gate_ids).reshape(-1))
+    qubs = tuple(tuple(int(x) for x in row)
+                 for row in np.asarray(ct_struct.qubits).reshape(-1, 2))
+    conf = None if confusion is None else np.asarray(confusion, np.float32)
+    return _run_frame_marginals(params, choices, conf, gids, qubs,
+                                num_qubits, interpret)

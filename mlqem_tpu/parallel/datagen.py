@@ -33,6 +33,13 @@ from .mesh import batch_sharding, make_mesh, replicated
 from ..utils.rng import prng_key
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def make_ising_template(nq: int, steps: int, basis: str = "Z",
                         dt: float = 0.25, h: Optional[float] = None
                         ) -> CircuitTemplate:
@@ -136,7 +143,17 @@ class IsingLabelPipeline:
                 choices = sample_small_categorical(
                     choice_key, jnp.asarray(pauli_probs)[None, None],
                     (B, n_traj, L))
-                if use_frame:
+                if use_frame and _on_tpu():
+                    from ..ops.frame_trajectory import \
+                        run_frame_trajectories_z
+
+                    # fused Pallas path: the state lives in the kernel's
+                    # VMEM; only sign-folded angles in, per-qubit marginals
+                    # (frame-corrected + confused) out
+                    z_traj = run_frame_trajectories_z(
+                        ct_struct, ct.params, choices, n_traj, nq,
+                        confusion=confusion)
+                elif use_frame:
                     from ..ops.frame_trajectory import \
                         run_frame_trajectories_probs
 
@@ -144,6 +161,10 @@ class IsingLabelPipeline:
                     # state updates are shared rotations/permutations
                     probs = run_frame_trajectories_probs(
                         ct_struct, ct.params, choices, n_traj, nq)
+                    if confusion is not None:
+                        probs = apply_readout_confusion(
+                            probs, confusion, nq, variant="xor")
+                    z_traj = z_expectations(probs, nq)
                 else:
                     from ..ops.trajectory import \
                         run_trajectories_presampled
@@ -151,11 +172,10 @@ class IsingLabelPipeline:
                     states = run_trajectories_presampled(
                         ct_struct, ct.params, choices, n_traj, nq)
                     probs = jnp.real(states * jnp.conj(states))
-                if confusion is not None:
-                    probs = apply_readout_confusion(
-                        probs, confusion, nq,
-                        variant="xor" if use_frame else "einsum")
-                z_traj = z_expectations(probs, nq)        # [B, T, nq]
+                    if confusion is not None:
+                        probs = apply_readout_confusion(
+                            probs, confusion, nq, variant="einsum")
+                    z_traj = z_expectations(probs, nq)    # [B, T, nq]
                 if shots is None:
                     noisy = jnp.mean(z_traj, axis=1)
                 else:

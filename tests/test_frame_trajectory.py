@@ -114,3 +114,53 @@ def test_id_gate_noise_enters_the_frame():
     np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
     # and the X actually moved probability onto qubit 2's excited half
     assert p_new[0, 0, 4:].sum() > 0.99
+
+
+def test_fused_marginals_match_probs_path():
+    """The Pallas fused-marginal path (interpret mode on CPU) must equal
+    confusion(probs)->z_expectations on a random full-gate-set circuit:
+    frame-X correction and per-qubit readout both factorize over qubits."""
+    from mlqem_tpu.ops.density import apply_readout_confusion
+    from mlqem_tpu.ops.frame_trajectory import run_frame_trajectories_z
+    from mlqem_tpu.ops.statevector import z_expectations
+
+    rng = np.random.default_rng(11)
+    nq = 4
+    qc = Circuit(nq)
+    g1 = ["rx", "ry", "rz", "p", "h", "s", "t", "sx", "x", "y", "z"]
+    for _ in range(30):
+        kind = rng.choice(["1q", "cx", "cy", "cz", "swap", "rzz"])
+        if kind == "1q":
+            g = str(rng.choice(g1))
+            q = int(rng.integers(nq))
+            if g in ("rx", "ry", "rz", "p"):
+                getattr(qc, g)(float(rng.uniform(-2, 2)), q)
+            else:
+                getattr(qc, g)(q)
+        else:
+            a, b = rng.choice(nq, 2, replace=False)
+            if kind == "rzz":
+                qc.rzz(float(rng.uniform(-2, 2)), int(a), int(b))
+            else:
+                getattr(qc, kind)(int(a), int(b))
+    ct = stack_circuits([qc])
+    L = ct.gate_ids.reshape(-1).shape[0]
+    B, T = 3, 8
+    params = jnp.asarray(np.tile(np.asarray(ct.params, np.float32)[0][None],
+                                 (B, 1, 1)))
+    choices = jnp.asarray(rng.integers(0, 16, (B, T, L)).astype(np.int32))
+    conf = np.stack([np.array([[1 - 0.02 * (q + 1), 0.01 * (q + 1)],
+                               [0.02 * (q + 1), 1 - 0.01 * (q + 1)]],
+                              np.float32) for q in range(nq)])
+    probs = run_frame_trajectories_probs(ct, params, choices, T, nq)
+    z_ref = np.asarray(z_expectations(
+        apply_readout_confusion(probs, jnp.asarray(conf), nq,
+                                variant="xor"), nq))
+    z_new = np.asarray(run_frame_trajectories_z(
+        ct, params, choices, T, nq, confusion=conf, interpret=True))
+    np.testing.assert_allclose(z_new, z_ref, atol=2e-5)
+    # no-confusion variant
+    z_ref2 = np.asarray(z_expectations(probs, nq))
+    z_new2 = np.asarray(run_frame_trajectories_z(
+        ct, params, choices, T, nq, interpret=True))
+    np.testing.assert_allclose(z_new2, z_ref2, atol=2e-5)
