@@ -35,10 +35,18 @@ def _perm_16(swap_row: bool) -> np.ndarray:
 
 
 def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
-                         n: int) -> jnp.ndarray:
+                         n: int, variant: str = "einsum") -> jnp.ndarray:
     """Apply a 16×16 superop at STATIC qubits (a, b) to dm[..., 2^n, 2^n].
 
     s16 may carry leading batch dims broadcasting with dm's.
+
+    variant "einsum": direct 8-bit-axis contraction — fine on CPU, but on
+    TPU the split ``[…, 2, L]`` minor axes shred the 128-lane tiling (the
+    same pathology as ``apply_readout_confusion``'s einsum form inside
+    unrolled programs). variant "transpose": gather the four target bit
+    axes to the front with ONE transpose, contract the superop as a clean
+    ``[16,16] @ [16, dim²/16]`` matmul over a dense minor axis, transpose
+    back — ~2 tiled memory passes per op instead of a 64×-padded einsum.
     """
     lo, hi = (a, b) if a < b else (b, a)
     if a < b:
@@ -50,20 +58,43 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
     batch = dm.shape[:-2]
     dim = 2 ** n
     view = dm.reshape(batch + (H, 2, M, 2, L, H, 2, M, 2, L))
-    s8 = s16.reshape(s16.shape[:-2] + (2, 2, 2, 2, 2, 2, 2, 2))
-    # out indices: (A,B) row bits, (C,D) col bits; in: (a,b,c,d)
-    new = jnp.einsum("...ABCDabcd,...HaMbLIcJdK->...HAMBLICJDK", s8, view)
-    return new.reshape(batch + (dim, dim))
+    if variant == "einsum":
+        s8 = s16.reshape(s16.shape[:-2] + (2, 2, 2, 2, 2, 2, 2, 2))
+        # out indices: (A,B) row bits, (C,D) col bits; in: (a,b,c,d)
+        new = jnp.einsum("...ABCDabcd,...HaMbLIcJdK->...HAMBLICJDK",
+                         s8, view)
+        return new.reshape(batch + (dim, dim))
+    nb = len(batch)
+    o = nb
+    # [batch, rowhi, rowlo, colhi, collo, H, M, L, H, M, L]
+    axperm = list(range(nb)) + [o + 1, o + 3, o + 6, o + 8,
+                                o + 0, o + 2, o + 4, o + 5, o + 7, o + 9]
+    moved = jnp.transpose(view, axperm)
+    v16 = moved.reshape(batch + (16, (dim * dim) // 16))
+    out16 = jnp.einsum("...ij,...jR->...iR", s16, v16)
+    back = out16.reshape(batch + (2, 2, 2, 2, H, M, L, H, M, L))
+    inv = list(np.argsort(axperm))
+    out = jnp.transpose(back, inv)
+    return out.reshape(batch + (dim, dim))
 
 
 def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                        key_ids: np.ndarray, noise_table: np.ndarray,
-                       dtype=COMPLEX_DTYPE) -> jnp.ndarray:
+                       dtype=COMPLEX_DTYPE,
+                       variant: Optional[str] = None) -> jnp.ndarray:
     """Noisy density matrices for a template batch: params [B, L, 3].
 
     key_ids/noise_table as produced by ``compile_noise_table`` on the
     template (shared across the batch). Returns dm [B, 2^n, 2^n].
+    ``variant=None`` picks per platform: "transpose" on TPU (dense-lane
+    matmul form), "einsum" elsewhere.
     """
+    if variant is None:
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        variant = "transpose" if on_tpu else "einsum"
     n = max(ct_struct.num_qubits, 2)
     pairs = static_pairs(ct_struct)
     keys = np.asarray(key_ids).reshape(-1)
@@ -79,5 +110,5 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                             jnp.conj(u)).reshape(B, 16, 16)
         s_noise = jnp.asarray(table[keys[l]])            # [16, 16] const
         s16 = jnp.einsum("ij,bjk->bik", s_noise, s_gate)
-        dm = apply_superop_static(dm, s16, a, b, n)
+        dm = apply_superop_static(dm, s16, a, b, n, variant=variant)
     return dm

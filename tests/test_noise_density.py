@@ -199,3 +199,24 @@ def test_channel_for_reversed_order_swaps_slots():
     # In the reversed orientation the damped qubit is the FIRST local slot.
     want = Channel([np.kron(k, np.eye(2)) for k in ad.kraus])
     np.testing.assert_allclose(rev.superop(), want.superop(), atol=1e-12)
+
+
+def test_superop_transpose_variant_matches_einsum():
+    """The TPU lane-dense transpose form of the static superop application
+    is bit-identical to the einsum form for every (a, b) ordering."""
+    import jax.numpy as jnp
+
+    from mlqem_tpu.ops.density_static import apply_superop_static
+
+    rng = np.random.default_rng(0)
+    n, dim = 5, 32
+    for (a, b) in [(0, 1), (1, 0), (2, 4), (4, 2), (0, 4), (3, 2)]:
+        dm = jnp.asarray((rng.normal(size=(2, dim, dim))
+                          + 1j * rng.normal(size=(2, dim, dim))
+                          ).astype(np.complex64))
+        s16 = jnp.asarray((rng.normal(size=(2, 16, 16))
+                           + 1j * rng.normal(size=(2, 16, 16))
+                           ).astype(np.complex64))
+        o1 = np.asarray(apply_superop_static(dm, s16, a, b, n, "einsum"))
+        o2 = np.asarray(apply_superop_static(dm, s16, a, b, n, "transpose"))
+        np.testing.assert_allclose(o1, o2, atol=1e-5)
