@@ -30,7 +30,7 @@ from ..ops.pauli_prop import PauliPropagatorIsing
 
 def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          nq: int = 100,
-                         num_steps: int = 5,
+                         num_steps: int = 10,
                          J_train: Sequence[float] = None,
                          J_test: Sequence[float] = None,
                          qubits: Sequence[int] = (0, 24, 49, 74, 99),
@@ -46,25 +46,33 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          n_estimators: int = 100,
                          shots: Optional[int] = 10000,
                          num_twirls: int = 5,
+                         engine: str = "lightcone",
                          seed: int = 0) -> Dict:
-    """100Q ZNE-mimicry, demo1 pipeline shape.
+    """100Q ZNE-mimicry, demo1 pipeline shape — at the reference's FULL
+    depth (``demo1_rf_mimic_zne_100q_twirl.ipynb`` spans Trotter steps
+    ``list(range(1, 11))``).
 
     Samples: (step, J) grid like the hardware campaign (Trotter-step ×
     J sweep); 5 single-Z observables; per-qubit RandomForest(100) mimics.
 
-    Measurement statistics are REAL binomial shot sampling, matching the
-    hardware campaign's ``shots`` per twirl instance × ``num_twirls``
-    twirl instances per (step, J) point (h31: 10000 shots, 5 twirls,
-    demo1's ``reshape(n,5,5).mean(-1)`` average): the propagated noisy
-    ⟨Z_q⟩ (readout already applied) gives the per-qubit outcome
-    probability p₁ = (1−z)/2, and each measured value is
-    Binomial(shots·num_twirls, p₁)/(shots·num_twirls) rescaled to [−1, 1].
-    ``shots=None`` disables sampling (exact twirled-channel values).
+    ``engine="lightcone"`` (default) produces every arm with the EXACT
+    light-cone engine (:class:`~..ops.lightcone.LightconeIsing`): the ideal
+    reference is an exact statevector on each observable's ≤(2·steps+1)-
+    qubit cone, and the noisy/amplified arms follow the hardware protocol
+    faithfully — ``num_twirls`` sampled twirl instances × ``shots``
+    binomial measurements each (h31: 10000 shots, 5 twirls, demo1's
+    ``reshape(n,5,5).mean(-1)`` average).  No truncation parameter exists
+    on this path; ``max_terms`` is ignored.
 
-    The default depth is 5: the K-doubling audit
-    (:func:`truncation_convergence`) shows the demo config's values are
-    converged to <1e-3 at max_terms=16384 through step 5 but NOT at
-    steps ≥6 — deeper runs need the audit rerun at larger K.
+    ``engine="pauli_prop"`` is the sparse Pauli-propagation path (any
+    observable structure, but top-K truncation): exact twirled-channel
+    values at ``max_terms`` capacity with Binomial(shots·num_twirls)
+    measurement sampling on top.  Its K-doubling audit
+    (:func:`truncation_convergence`) shows the demo config converged to
+    <1e-3 at K=16384 only through step 5 (and at K=131072 through step 6)
+    — use it at those depths, or for observables the light cone cannot
+    reach.  The two engines cross-validate at the converged depths
+    (:func:`lightcone_crosscheck`).
     """
     rng = np.random.default_rng(seed)
     device = device or configurable_device(nq, seed=1)
@@ -76,24 +84,43 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     all_J = J_train + J_test
     J_arr = np.asarray(all_J, np.float32)
 
-    # one stepwise propagation per arm covers every depth 1..num_steps
-    eng = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
-                               max_terms=max_terms)
-    noisy_sw, err1 = eng.generate_stepwise(J_arr, noise_factors[0], qubits)
-    amp_sw, err3 = eng.generate_stepwise(J_arr, noise_factors[1], qubits)
-    eng_ideal = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt,
-                                     h=h, max_terms=max_terms, noise=False)
-    ideal_sw = eng_ideal.generate_stepwise(J_arr, qubits=qubits)[0]
-    max_disc = max(float(err1.max()), float(err3.max()))
+    if engine == "lightcone":
+        from ..ops.lightcone import LightconeIsing
+
+        eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
+                             n_traj=max(int(num_twirls), 1), shots=shots)
+        noisy_sw, ideal_sw = eng.generate_stepwise(
+            J_arr, noise_factors[0], qubits, seed=seed)
+        amp_sw, _ = eng.generate_stepwise(
+            J_arr, noise_factors[1], qubits, seed=seed + 1)
+        max_disc = 0.0
+    elif engine == "pauli_prop":
+        # one stepwise propagation per arm covers every depth 1..num_steps
+        eng = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt,
+                                   h=h, max_terms=max_terms)
+        noisy_sw, err1 = eng.generate_stepwise(J_arr, noise_factors[0],
+                                               qubits)
+        amp_sw, err3 = eng.generate_stepwise(J_arr, noise_factors[1],
+                                             qubits)
+        eng_ideal = PauliPropagatorIsing(device, nq=nq, steps=num_steps,
+                                         dt=dt, h=h, max_terms=max_terms,
+                                         noise=False)
+        ideal_sw = eng_ideal.generate_stepwise(J_arr, qubits=qubits)[0]
+        max_disc = max(float(err1.max()), float(err3.max()))
+    else:
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(lightcone | pauli_prop)")
 
     def sample_shots(z):
         """Binomial measurement of ⟨Z_q⟩: hardware counts semantics.
 
-        The propagated value (readout confusion already applied) fixes the
-        per-qubit outcome probability p₁ = (1−z)/2; shots·num_twirls
-        independent measurements are drawn and the estimate is rescaled.
+        Used by the pauli_prop path only (the lightcone engine samples
+        per-trajectory counts internally): the propagated value (readout
+        confusion already applied) fixes the per-qubit outcome probability
+        p₁ = (1−z)/2; shots·num_twirls independent measurements are drawn
+        and the estimate is rescaled.
         """
-        if shots is None:
+        if shots is None or engine == "lightcone":
             return z
         n = int(shots) * max(int(num_twirls), 1)
         p1 = np.clip((1.0 - z) / 2.0, 0.0, 1.0)
@@ -136,16 +163,91 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     ideal_te = stack(te, "ideal")
     noisy_te = stack(te, "noisy")
     zne_te = stack(te, "zne")
+    te_steps = np.array([r["step"] for r in te])
+    per_step = {}
+    for name, arr in (("noisy", noisy_te), ("zne", zne_te),
+                      ("mimic", mimic_te)):
+        per_step[name] = [float(rmse(arr[te_steps == s],
+                                     ideal_te[te_steps == s]))
+                          for s in range(1, num_steps + 1)]
     return {
         "rmse_noisy": float(rmse(noisy_te, ideal_te)),
         "rmse_zne": float(rmse(zne_te, ideal_te)),
         "rmse_mimic": float(rmse(mimic_te, ideal_te)),
         "rmse_per_qubit_noisy": rmse(noisy_te, ideal_te, axis=0).tolist(),
         "rmse_per_qubit_mimic": rmse(mimic_te, ideal_te, axis=0).tolist(),
+        "rmse_per_step": per_step,
         "max_truncation_discard": max_disc,
+        "engine": engine,
         "qubits": list(qubits),
         "rows": rows,
     }
+
+
+def lightcone_crosscheck(device: Optional[DeviceModel] = None,
+                         nq: int = 100,
+                         steps: int = 6,
+                         dt: float = 0.5,
+                         h: float = 0.5 * np.pi,
+                         J_values: Sequence[float] = (0.05, 0.3, 0.55),
+                         qubits: Sequence[int] = (0, 24, 49, 74, 99),
+                         max_terms: int = 16384,
+                         noise_factors: Sequence[float] = (1, 3),
+                         n_traj: int = 4096,
+                         ideal_tol: float = 1e-3,
+                         noisy_tol: float = 0.03,
+                         seed: int = 1) -> Dict:
+    """Cross-validate the exact light-cone engine against sparse Pauli
+    propagation at the depths where the K-doubling audit shows the
+    truncated engine converged (demo config: ≤ step 6 at K=16384+).
+
+    The ideal arms are exact-vs-exact (statevector cone vs converged
+    Heisenberg sum — agreement to ``ideal_tol`` is a machine-precision-
+    level check of two completely independent formulations).  The noisy
+    arms compare ``n_traj`` sampled twirl trajectories against the exact
+    twirled-channel damping, so their tolerance is statistical
+    (~4·spread/√n_traj).  This is the validation that lets demo1 run at
+    the reference's full 10-step depth on the light-cone engine.
+    """
+    from ..ops.lightcone import LightconeIsing
+
+    device = device or configurable_device(nq, seed=seed)
+    J_arr = np.asarray(list(J_values), np.float32)
+    qubits = [q for q in qubits if q < nq]
+
+    lc_exact = LightconeIsing(device, nq=nq, steps=steps, dt=dt, h=h,
+                              n_traj=1, shots=None, noise=False,
+                              readout=False)
+    _, lc_ideal = lc_exact.generate_stepwise(J_arr, qubits=qubits)
+    pp_ideal = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
+                                    max_terms=max_terms, noise=False
+                                    ).generate_stepwise(J_arr,
+                                                        qubits=qubits)[0]
+    out: Dict = {
+        "config": {"nq": nq, "steps": steps, "dt": dt, "h": float(h),
+                   "J_values": list(map(float, J_values)),
+                   "qubits": list(qubits), "max_terms": max_terms,
+                   "n_traj": n_traj},
+        "ideal_max_diff": float(np.abs(lc_ideal - pp_ideal).max()),
+        "ideal_tol": ideal_tol,
+        "noisy_max_diff": {},
+        "noisy_tol": noisy_tol,
+    }
+    lc_noisy = LightconeIsing(device, nq=nq, steps=steps, dt=dt, h=h,
+                              n_traj=n_traj, shots=None)
+    pp_noisy = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
+                                    max_terms=max_terms)
+    for nf in noise_factors:
+        lc_v, _ = lc_noisy.generate_stepwise(J_arr, noise_scale=nf,
+                                             qubits=qubits, seed=seed)
+        pp_v, _ = pp_noisy.generate_stepwise(J_arr, noise_scale=nf,
+                                             qubits=qubits)
+        out["noisy_max_diff"][f"nf{int(nf)}"] = float(
+            np.abs(lc_v - pp_v).max())
+    out["passed"] = bool(
+        out["ideal_max_diff"] <= ideal_tol
+        and all(v <= noisy_tol for v in out["noisy_max_diff"].values()))
+    return out
 
 
 def truncation_convergence(device: Optional[DeviceModel] = None,

@@ -81,7 +81,8 @@ def test_demo1_shape_small():
     dev = configurable_device(12, seed=0)
     out = demo1_zne_mimic_100q(device=dev, nq=12, num_steps=3,
                                qubits=(0, 5, 11), max_terms=2048,
-                               n_estimators=30, seed=0)
+                               n_estimators=30, engine="pauli_prop",
+                               seed=0)
     assert out["rmse_mimic"] < out["rmse_noisy"]
     assert out["rmse_zne"] < out["rmse_noisy"]
 
