@@ -1,12 +1,14 @@
 """Demo 1 — RF mimics ZNE at 100 qubits (fully simulated).
 
 Reproduction of the reference's flagship demo
-(``demo1_rf_mimic_zne_100q_twirl.ipynb``), but with the 100Q noisy +
-noise-amplified expectation values produced by the sparse Pauli-propagation
-engine instead of IBM hardware. Prints the per-qubit and aggregate RMSE
-table (reference hardware numbers: noisy 0.0656 → mimic 0.0348, ~1.9x).
+(``demo1_rf_mimic_zne_100q_twirl.ipynb``) at its FULL depth — Trotter
+steps 1..10 — with the 100Q noisy + noise-amplified expectation values
+produced by the exact light-cone engine (hardware-protocol sampling:
+5 twirl instances × 10000 binomial shots) instead of IBM hardware.
+Prints the per-qubit and aggregate RMSE table (reference hardware
+numbers: noisy 0.0656 → mimic 0.0348, ~1.9x).
 
-Run: python docs/demos/demo1_rf_mimic_zne_100q.py   (~5-10 min on CPU)
+Run: python docs/demos/demo1_rf_mimic_zne_100q.py   (~10-20 min on CPU)
 """
 import os as _os
 import sys as _sys
@@ -26,9 +28,8 @@ from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
 
 def main():
     dev = configurable_device(100, seed=1)
-    # depth 5 = the K-audit-validated depth at max_terms=16384
-    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=5,
-                               max_terms=16384, seed=0)
+    # the reference's full depth — exact light-cone engine, no truncation
+    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=10, seed=0)
     print("qubits:", out["qubits"])
     print(f"RMSE noisy : {out['rmse_noisy']:.5f}")
     print(f"RMSE ZNE   : {out['rmse_zne']:.5f}")

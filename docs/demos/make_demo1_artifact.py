@@ -1,0 +1,116 @@
+"""Reproducible demo1 artifact generator — the full 10-step depth.
+
+ONE command regenerates ``docs/demos/results/demo1_100q_simulated.json``:
+the reference's flagship 100Q reproduction
+(``/root/reference/docs/demos/demo1_rf_mimic_zne_100q_twirl.ipynb`` spans
+Trotter steps ``list(range(1, 11))``) on the exact light-cone engine, with
+
+* a cross-validation block (``lightcone_crosscheck``): light-cone vs
+  sparse Pauli propagation at the depths where the K-doubling audit shows
+  the truncated engine converged (exact-vs-exact on the ideal arm),
+* the TPU K-audit table (``truncation_audit_tpu.json``) recording WHY the
+  light-cone engine is the depth-10 path (top-K drift 0.39/0.76 at steps
+  8/10 even at K=131072),
+* per-step RMSE rows for the noisy / ZNE / RF-mimic arms.
+
+Run:   python docs/demos/make_demo1_artifact.py           (~30-60 min CPU)
+Fast:  python docs/demos/make_demo1_artifact.py --fast    (smoke scale)
+"""
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+if _os.environ.get("JAX_PLATFORMS"):   # honored even where jax is
+    import jax as _jax                 # pre-imported at startup
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
+RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "results")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="reduced scale (smoke, NOT the artifact)")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=_os.path.join(
+        RESULTS, "demo1_100q_simulated.json"))
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.workflows.demos import (demo1_zne_mimic_100q,
+                                           lightcone_crosscheck)
+
+    nq = 40 if args.fast else 100
+    steps = min(args.steps, 4) if args.fast else args.steps
+    dev = configurable_device(nq, seed=1)
+    qubits = (0, nq // 4, nq // 2, 3 * nq // 4, nq - 1) if args.fast \
+        else (0, 24, 49, 74, 99)   # the audited demo1 observable set
+
+    t0 = time.time()
+    print("cross-validating light-cone vs Pauli propagation "
+          "(converged depths)...", flush=True)
+    n_traj = 512 if args.fast else 4096
+    # full scale: compare against the TPU K=131072 audit values (shipped
+    # artifact) instead of re-running the truncated engine on CPU
+    reference = None
+    if not args.fast:
+        import numpy as _np
+
+        ref_npz = _np.load(_os.path.join(RESULTS, "audit_values_tpu.npz"))
+        assert list(ref_npz["qubits"]) == list(qubits)
+        reference = {k: ref_npz[k] for k in ("ideal", "nf1", "nf3")}
+    xck = lightcone_crosscheck(
+        device=dev, nq=nq, steps=min(6, steps),
+        max_terms=2048 if args.fast else 131072,
+        n_traj=n_traj, reference=reference,
+        # statistical tolerance: ~4 sigma of the trajectory mean
+        noisy_tol=0.03 * (4096.0 / n_traj) ** 0.5,
+        qubits=qubits)
+    print(f"  ideal_max_diff={xck['ideal_max_diff']:.2e} "
+          f"noisy={xck['noisy_max_diff']} passed={xck['passed']} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    if not xck["passed"]:
+        raise SystemExit("cross-check FAILED — not writing the artifact")
+
+    t1 = time.time()
+    print(f"running demo1 at {steps} Trotter steps ({nq}q, "
+          "light-cone engine)...", flush=True)
+    out = demo1_zne_mimic_100q(
+        device=dev, nq=nq, num_steps=steps, qubits=qubits,
+        shots=10000, num_twirls=5, seed=args.seed)
+    rows = out.pop("rows")
+    out["rows_count"] = len(rows)
+    out["config"] = (
+        f"config_100q_paper_Clifford (h=0.5pi, dt=0.5, J sweep, {steps} "
+        f"Trotter steps, exact light-cone engine, 5 twirls x 10000 "
+        f"binomial shots per (step, J) point), noise from synthetic "
+        f"{nq}q calibration")
+    out["crosscheck"] = xck
+    audit_path = _os.path.join(RESULTS, "truncation_audit_tpu.json")
+    if _os.path.exists(audit_path):
+        with open(audit_path) as f:
+            out["truncation_validation"] = json.load(f)
+    out["validated"] = bool(xck["passed"])
+    out["protocol"] = {"fast": bool(args.fast), "seed": args.seed,
+                       "wall_seconds": round(time.time() - t0, 1)}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out} ({time.time() - t1:.0f}s)")
+    print(f"RMSE noisy {out['rmse_noisy']:.5f} | zne {out['rmse_zne']:.5f}"
+          f" | mimic {out['rmse_mimic']:.5f} "
+          f"({out['rmse_noisy'] / out['rmse_mimic']:.2f}x)")
+    print("per-step noisy:", np.round(out["rmse_per_step"]["noisy"], 4))
+    print("per-step zne  :", np.round(out["rmse_per_step"]["zne"], 4))
+    print("per-step mimic:", np.round(out["rmse_per_step"]["mimic"], 4))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,9 @@ vals, disc = pp.generate(np.array([0.15], np.float32),
 print(f"{NQ}Q noisy <Z>:", np.round(vals[0], 4),
       "| truncation weight:", np.round(disc[0].max(), 4))
 
-# the full demo1 mimicry pipeline (reduced steps for tutorial runtime)
-out = demo1_zne_mimic_100q(device=dev, nq=NQ, num_steps=3, max_terms=K // 2)
-print(f"demo1: rmse noisy {out['rmse_noisy']:.4f} | "
+# the full demo1 mimicry pipeline (reduced steps for tutorial runtime;
+# the default engine is the exact light-cone statevector — deep runs at
+# the published 10-step depth use it too, see docs/demos/)
+out = demo1_zne_mimic_100q(device=dev, nq=NQ, num_steps=3)
+print(f"demo1 ({out['engine']}): rmse noisy {out['rmse_noisy']:.4f} | "
       f"zne {out['rmse_zne']:.4f} | mimic {out['rmse_mimic']:.4f}")

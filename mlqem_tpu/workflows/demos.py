@@ -196,6 +196,7 @@ def lightcone_crosscheck(device: Optional[DeviceModel] = None,
                          n_traj: int = 4096,
                          ideal_tol: float = 1e-3,
                          noisy_tol: float = 0.03,
+                         reference: Optional[Dict[str, np.ndarray]] = None,
                          seed: int = 1) -> Dict:
     """Cross-validate the exact light-cone engine against sparse Pauli
     propagation at the depths where the K-doubling audit shows the
@@ -208,6 +209,12 @@ def lightcone_crosscheck(device: Optional[DeviceModel] = None,
     twirled-channel damping, so their tolerance is statistical
     (~4·spread/√n_traj).  This is the validation that lets demo1 run at
     the reference's full 10-step depth on the light-cone engine.
+
+    ``reference`` can supply precomputed Pauli-propagation values
+    ({"ideal"/"nf1"/"nf3": [B, ≥steps, Q]} — e.g. the TPU K=131072 audit
+    values shipped in ``docs/demos/results/audit_values_tpu.npz``) so the
+    check does not re-run the truncated engine; they must match the
+    (J_values, qubits, dt, h, device) configuration.
     """
     from ..ops.lightcone import LightconeIsing
 
@@ -215,35 +222,42 @@ def lightcone_crosscheck(device: Optional[DeviceModel] = None,
     J_arr = np.asarray(list(J_values), np.float32)
     qubits = [q for q in qubits if q < nq]
 
+    def pp_values(arm):
+        if reference is not None:
+            return np.asarray(reference[arm])[:, :steps, :]
+        if arm == "ideal":
+            return PauliPropagatorIsing(
+                device, nq=nq, steps=steps, dt=dt, h=h,
+                max_terms=max_terms, noise=False
+            ).generate_stepwise(J_arr, qubits=qubits)[0]
+        return PauliPropagatorIsing(
+            device, nq=nq, steps=steps, dt=dt, h=h, max_terms=max_terms
+        ).generate_stepwise(J_arr, noise_scale=int(arm[2:]),
+                            qubits=qubits)[0]
+
     lc_exact = LightconeIsing(device, nq=nq, steps=steps, dt=dt, h=h,
                               n_traj=1, shots=None, noise=False,
                               readout=False)
     _, lc_ideal = lc_exact.generate_stepwise(J_arr, qubits=qubits)
-    pp_ideal = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
-                                    max_terms=max_terms, noise=False
-                                    ).generate_stepwise(J_arr,
-                                                        qubits=qubits)[0]
     out: Dict = {
         "config": {"nq": nq, "steps": steps, "dt": dt, "h": float(h),
                    "J_values": list(map(float, J_values)),
                    "qubits": list(qubits), "max_terms": max_terms,
-                   "n_traj": n_traj},
-        "ideal_max_diff": float(np.abs(lc_ideal - pp_ideal).max()),
+                   "n_traj": n_traj,
+                   "reference": "precomputed" if reference is not None
+                                else "recomputed"},
+        "ideal_max_diff": float(np.abs(lc_ideal - pp_values("ideal")).max()),
         "ideal_tol": ideal_tol,
         "noisy_max_diff": {},
         "noisy_tol": noisy_tol,
     }
     lc_noisy = LightconeIsing(device, nq=nq, steps=steps, dt=dt, h=h,
                               n_traj=n_traj, shots=None)
-    pp_noisy = PauliPropagatorIsing(device, nq=nq, steps=steps, dt=dt, h=h,
-                                    max_terms=max_terms)
     for nf in noise_factors:
         lc_v, _ = lc_noisy.generate_stepwise(J_arr, noise_scale=nf,
                                              qubits=qubits, seed=seed)
-        pp_v, _ = pp_noisy.generate_stepwise(J_arr, noise_scale=nf,
-                                             qubits=qubits)
         out["noisy_max_diff"][f"nf{int(nf)}"] = float(
-            np.abs(lc_v - pp_v).max())
+            np.abs(lc_v - pp_values(f"nf{int(nf)}")).max())
     out["passed"] = bool(
         out["ideal_max_diff"] <= ideal_tol
         and all(v <= noisy_tol for v in out["noisy_max_diff"].values()))

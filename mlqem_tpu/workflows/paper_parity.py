@@ -244,11 +244,21 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
     This is what ``docs/results/make_paper_parity.py`` runs; the schema is
     asserted by ``tests/test_workflows.py::test_paper_parity_schema``.
     """
+    import sys
+    import time
+
     out: Dict = {"schema": "paper_parity/v2", "seeds": list(seeds),
                  "settings": {}}
     for setting in settings:
-        runs = [single_ising_parity(setting, seed=s, **kwargs)
-                for s in seeds]
+        runs = []
+        for s in seeds:
+            t0 = time.time()
+            runs.append(single_ising_parity(setting, seed=s, **kwargs))
+            print(f"[paper_parity] {setting} seed={s}: "
+                  f"{time.time() - t0:.0f}s "
+                  f"noisy={runs[-1]['ours']['noisy']:.4f} "
+                  f"rf={runs[-1]['ours']['random_forest']:.4f}",
+                  file=sys.stderr, flush=True)
         models = sorted(runs[0]["ours"])
         mean = {m: float(np.mean([r["ours"][m] for r in runs]))
                 for m in models}
