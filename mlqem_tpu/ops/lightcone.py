@@ -185,29 +185,53 @@ class LightconeIsing:
                 step_fn, (zero, zero), (pa, pb))
             return kick_s, bond_s, flip_s
 
+        # uniform-sign (ideal-arm) phase vectors, precomputed on host so
+        # XLA never constant-folds an all-ones [B, dim] sign matmul inside
+        # the scan body (a multi-minute stall at dim = 2^21)
+        kick_sum_np = bit_pm_np.sum(axis=1)            # [dim]
+        bond_sum_np = bond_par_np.sum(axis=1)          # [dim]
+
         def evolve_stepwise(theta_j_bt, kick_s, bond_s):
-            """Per-step ⟨Z_obs⟩ of the frame-evolved state: [S, BT]."""
+            """Per-step ⟨Z_obs⟩ of the frame-evolved state: [S, BT].
+
+            ``kick_s``/``bond_s`` = ``None`` means uniform +1 signs (the
+            ideal arm): the per-step phase exponents collapse to fixed
+            host-precomputed [dim] vectors instead of sign matmuls.
+            """
             dim = 2 ** w
             BT = theta_j_bt.shape[0]
             bit_pm = jnp.asarray(bit_pm_np)
             bond_par = jnp.asarray(bond_par_np)
             mz = -bit_pm[:, obs]                       # ⟨Z⟩ weights [dim]
             state = jnp.zeros((BT, dim), COMPLEX_DTYPE).at[:, 0].set(1.0)
+            uniform = kick_s is None
+            if uniform:
+                kick_expo = jnp.asarray((theta_h / 2.0) * kick_sum_np)
+                bond_unit = jnp.asarray(bond_sum_np)
+                xs = jnp.zeros((S,), jnp.float32)
+            else:
+                xs = (kick_s, bond_s)
 
             def one_step(state, signs):
-                kick, bond = signs
                 state = wht(state, w)
-                expo = (theta_h / 2.0) * (kick @ bit_pm.T)
+                if uniform:
+                    expo = jnp.broadcast_to(kick_expo[None, :], (BT, dim))
+                else:
+                    expo = (theta_h / 2.0) * (signs[0] @ bit_pm.T)
                 state = state * jnp.exp(
                     1j * expo.astype(jnp.float32)).astype(state.dtype)
                 state = wht(state, w)
-                expo2 = -(theta_j_bt[:, None] / 2.0) * (bond @ bond_par.T)
+                if uniform:
+                    expo2 = -(theta_j_bt[:, None] / 2.0) * bond_unit[None, :]
+                else:
+                    expo2 = -(theta_j_bt[:, None] / 2.0) \
+                        * (signs[1] @ bond_par.T)
                 state = state * jnp.exp(
                     1j * expo2.astype(jnp.float32)).astype(state.dtype)
                 probs = jnp.real(state * jnp.conj(state))
                 return state, probs @ mz
 
-            _, z_sw = jax.lax.scan(one_step, state, (kick_s, bond_s))
+            _, z_sw = jax.lax.scan(one_step, state, xs)
             return z_sw                                 # [S, BT]
 
         def run(theta_j, bond_probs, ro_a, ro_b, key):
@@ -232,9 +256,7 @@ class LightconeIsing:
                 z_rep = 1.0 - 2.0 * counts / shots
             noisy = jnp.mean(z_rep.reshape(S, B, T), axis=2).T   # [B, S]
             # ideal arm: all signs +1, one trajectory, no readout/shots
-            ones_k = jnp.ones((S, B, w), jnp.float32)
-            ones_b = jnp.ones((S, B, nb), jnp.float32)
-            ideal = evolve_stepwise(theta_j, ones_k, ones_b).T   # [B, S]
+            ideal = evolve_stepwise(theta_j, None, None).T       # [B, S]
             return noisy, ideal
 
         return jax.jit(run)
