@@ -64,6 +64,9 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
         new = jnp.einsum("...ABCDabcd,...HaMbLIcJdK->...HAMBLICJDK",
                          s8, view)
         return new.reshape(batch + (dim, dim))
+    if variant != "transpose":
+        raise ValueError(f"unknown superop variant {variant!r} "
+                         "(einsum | transpose)")
     nb = len(batch)
     o = nb
     # [batch, rowhi, rowlo, colhi, collo, H, M, L, H, M, L]
@@ -90,11 +93,9 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
     matmul form), "einsum" elsewhere.
     """
     if variant is None:
-        try:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:  # pragma: no cover
-            on_tpu = False
-        variant = "transpose" if on_tpu else "einsum"
+        from ..utils.platform import on_tpu
+
+        variant = "transpose" if on_tpu() else "einsum"
     n = max(ct_struct.num_qubits, 2)
     pairs = static_pairs(ct_struct)
     keys = np.asarray(key_ids).reshape(-1)

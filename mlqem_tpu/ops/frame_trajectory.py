@@ -256,7 +256,6 @@ def _run_frame_batch(params, choices, gids, qubs, num_qubits):
 def run_frame_trajectories_probs(ct_struct: CircuitTensor,
                                  params: jnp.ndarray,
                                  choices: jnp.ndarray,
-                                 n_traj: int,
                                  num_qubits: int) -> jnp.ndarray:
     """Physical outcome distributions: [B, T, dim].
 
@@ -322,7 +321,6 @@ def _frame_walk(gate_ids: np.ndarray, qubits: np.ndarray, rot_meta,
     fz = jnp.zeros(lead, jnp.int32)
     xa_t, za_t = jnp.asarray(XBIT_A), jnp.asarray(ZBIT_A)
     xb_t, zb_t = jnp.asarray(XBIT_B), jnp.asarray(ZBIT_B)
-    rot_slot = {l: i for i, (l, _, _) in enumerate(rot_meta)}
     axis_of = {l: ax for (l, ax, _) in rot_meta}
 
     def local_code(mx, mz, q):
@@ -406,7 +404,6 @@ def _run_frame_marginals(params, choices, confusion, gids, qubs,
 def run_frame_trajectories_z(ct_struct: CircuitTensor,
                              params: jnp.ndarray,
                              choices: jnp.ndarray,
-                             n_traj: int,
                              num_qubits: int,
                              confusion=None,
                              interpret: bool = False) -> jnp.ndarray:

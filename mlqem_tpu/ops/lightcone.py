@@ -234,8 +234,8 @@ class LightconeIsing:
             _, z_sw = jax.lax.scan(one_step, state, xs)
             return z_sw                                 # [S, BT]
 
-        def run(theta_j, bond_probs, ro_a, ro_b, key):
-            """theta_j [B] → (noisy [B, S], ideal [B, S])."""
+        def run_noisy(theta_j, bond_probs, ro_a, ro_b, key):
+            """theta_j [B] → noisy [B, S]."""
             B = theta_j.shape[0]
             BT = B * T
             k_noise, k_shot = jax.random.split(key)
@@ -254,23 +254,33 @@ class LightconeIsing:
                 counts = jax.random.binomial(k_shot, shots, p1
                                              ).astype(jnp.float32)
                 z_rep = 1.0 - 2.0 * counts / shots
-            noisy = jnp.mean(z_rep.reshape(S, B, T), axis=2).T   # [B, S]
+            return jnp.mean(z_rep.reshape(S, B, T), axis=2).T   # [B, S]
+
+        def run_full(theta_j, bond_probs, ro_a, ro_b, key):
+            """theta_j [B] → (noisy [B, S], ideal [B, S])."""
+            noisy = run_noisy(theta_j, bond_probs, ro_a, ro_b, key)
             # ideal arm: all signs +1, one trajectory, no readout/shots
             ideal = evolve_stepwise(theta_j, None, None).T       # [B, S]
             return noisy, ideal
 
-        return jax.jit(run)
+        return {"full": jax.jit(run_full), "noisy": jax.jit(run_noisy)}
 
     # -- public API ----------------------------------------------------------
     def generate_stepwise(self, J_values: np.ndarray,
                           noise_scale: float = 1.0,
                           qubits: Optional[Sequence[int]] = None,
-                          seed: int = 0
-                          ) -> Tuple[np.ndarray, np.ndarray]:
+                          seed: int = 0,
+                          want_ideal: bool = True
+                          ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """(noisy [B, steps, Q], ideal [B, steps, Q]) — exact per-step
         ⟨Z_q⟩ through every depth ≤ ``steps``; ``noise_scale`` composes
         each CX channel with itself (the ZNE local-folding knob, same
-        semantics as the Pauli-propagation engine)."""
+        semantics as the Pauli-propagation engine).
+
+        ``want_ideal=False`` skips the noise-free arm (returns ``None``
+        for it) — the ideal values do not depend on ``noise_scale``, so
+        amplified-arm calls should not pay a second exact evolution.
+        """
         from .trajectory import compose_pauli_channel
 
         qubits = list(qubits) if qubits is not None else list(range(self.nq))
@@ -278,23 +288,27 @@ class LightconeIsing:
                               * np.asarray(J_values, np.float32))
         B = theta_j.shape[0]
         noisy = np.empty((B, self.steps, len(qubits)), np.float32)
-        ideal = np.empty((B, self.steps, len(qubits)), np.float32)
+        ideal = np.empty((B, self.steps, len(qubits)), np.float32) \
+            if want_ideal else None
         ns = int(round(noise_scale))
         for qi, q in enumerate(qubits):
             tw = self._window_tables(q)
             key = (tw["w"], tw["obs"], tuple(tw["bonds"]), B)
-            fn = self._programs.get(key)
-            if fn is None:
-                fn = self._programs[key] = self._build(tw)
+            fns = self._programs.get(key)
+            if fns is None:
+                fns = self._programs[key] = self._build(tw)
             probs = tw["probs"]
             if ns != 1:
                 probs = np.stack([compose_pauli_channel(
                     p.astype(np.float64), ns) for p in probs]
                 ).astype(np.float32)
             a, b = readout_affine(tw["confusion"])
-            n, i = fn(theta_j, jnp.asarray(probs), jnp.float32(a),
-                      jnp.float32(b),
-                      prng_key(seed * 7919 + q * 131 + ns))
+            args = (theta_j, jnp.asarray(probs), jnp.float32(a),
+                    jnp.float32(b), prng_key(seed * 7919 + q * 131 + ns))
+            if want_ideal:
+                n, i = fns["full"](*args)
+                ideal[:, :, qi] = np.asarray(i)
+            else:
+                n = fns["noisy"](*args)
             noisy[:, :, qi] = np.asarray(n)
-            ideal[:, :, qi] = np.asarray(i)
         return noisy, ideal

@@ -31,13 +31,7 @@ from ..ops.sampling import sample_outcomes
 from ..ops.statevector import (probabilities, statevector, z_expectations)
 from .mesh import batch_sharding, make_mesh, replicated
 from ..utils.rng import prng_key
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+from ..utils.platform import on_tpu as _on_tpu
 
 
 def make_ising_template(nq: int, steps: int, basis: str = "Z",
@@ -151,7 +145,7 @@ class IsingLabelPipeline:
                     # VMEM; only sign-folded angles in, per-qubit marginals
                     # (frame-corrected + confused) out
                     z_traj = run_frame_trajectories_z(
-                        ct_struct, ct.params, choices, n_traj, nq,
+                        ct_struct, ct.params, choices, nq,
                         confusion=confusion)
                 elif use_frame:
                     from ..ops.frame_trajectory import \
@@ -160,7 +154,7 @@ class IsingLabelPipeline:
                     # Pauli-frame engine: noise rides integer frame masks,
                     # state updates are shared rotations/permutations
                     probs = run_frame_trajectories_probs(
-                        ct_struct, ct.params, choices, n_traj, nq)
+                        ct_struct, ct.params, choices, nq)
                     if confusion is not None:
                         probs = apply_readout_confusion(
                             probs, confusion, nq, variant="xor")
@@ -170,7 +164,7 @@ class IsingLabelPipeline:
                         run_trajectories_presampled
 
                     states = run_trajectories_presampled(
-                        ct_struct, ct.params, choices, n_traj, nq)
+                        ct_struct, ct.params, choices, nq)
                     probs = jnp.real(states * jnp.conj(states))
                     if confusion is not None:
                         probs = apply_readout_confusion(

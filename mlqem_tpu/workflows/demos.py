@@ -92,7 +92,8 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         noisy_sw, ideal_sw = eng.generate_stepwise(
             J_arr, noise_factors[0], qubits, seed=seed)
         amp_sw, _ = eng.generate_stepwise(
-            J_arr, noise_factors[1], qubits, seed=seed + 1)
+            J_arr, noise_factors[1], qubits, seed=seed + 1,
+            want_ideal=False)
         max_disc = 0.0
     elif engine == "pauli_prop":
         # one stepwise propagation per arm covers every depth 1..num_steps
@@ -255,7 +256,8 @@ def lightcone_crosscheck(device: Optional[DeviceModel] = None,
                               n_traj=n_traj, shots=None)
     for nf in noise_factors:
         lc_v, _ = lc_noisy.generate_stepwise(J_arr, noise_scale=nf,
-                                             qubits=qubits, seed=seed)
+                                             qubits=qubits, seed=seed,
+                                             want_ideal=False)
         out["noisy_max_diff"][f"nf{int(nf)}"] = float(
             np.abs(lc_v - pp_values(f"nf{int(nf)}")).max())
     out["passed"] = bool(

@@ -42,7 +42,7 @@ def test_ising_template_matches_generic_engine():
     sv = run_trajectories_presampled(ct0, ct.params, choices, T, nq)
     p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
     p_new = np.asarray(run_frame_trajectories_probs(
-        ct0, ct.params, choices, T, nq))
+        ct0, ct.params, choices, nq))
     np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
 
 
@@ -82,7 +82,7 @@ def test_random_rotation_clifford_circuits_match():
         p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))[0]
         p_new = np.asarray(run_frame_trajectories_probs(
             cti, jnp.asarray(ct.params[i][None]), choices[i][None],
-            T, 5))[0]
+            5))[0]
         np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
 
 
@@ -110,7 +110,7 @@ def test_id_gate_noise_enters_the_frame():
                                      choices, 2, 3)
     p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
     p_new = np.asarray(run_frame_trajectories_probs(
-        cti, jnp.asarray(ct.params), choices, 2, 3))
+        cti, jnp.asarray(ct.params), choices, 3))
     np.testing.assert_allclose(p_ref, p_new, atol=1e-6)
     # and the X actually moved probability onto qubit 2's excited half
     assert p_new[0, 0, 4:].sum() > 0.99
@@ -152,15 +152,15 @@ def test_fused_marginals_match_probs_path():
     conf = np.stack([np.array([[1 - 0.02 * (q + 1), 0.01 * (q + 1)],
                                [0.02 * (q + 1), 1 - 0.01 * (q + 1)]],
                               np.float32) for q in range(nq)])
-    probs = run_frame_trajectories_probs(ct, params, choices, T, nq)
+    probs = run_frame_trajectories_probs(ct, params, choices, nq)
     z_ref = np.asarray(z_expectations(
         apply_readout_confusion(probs, jnp.asarray(conf), nq,
                                 variant="xor"), nq))
     z_new = np.asarray(run_frame_trajectories_z(
-        ct, params, choices, T, nq, confusion=conf, interpret=True))
+        ct, params, choices, nq, confusion=conf, interpret=True))
     np.testing.assert_allclose(z_new, z_ref, atol=2e-5)
     # no-confusion variant
     z_ref2 = np.asarray(z_expectations(probs, nq))
     z_new2 = np.asarray(run_frame_trajectories_z(
-        ct, params, choices, T, nq, interpret=True))
+        ct, params, choices, nq, interpret=True))
     np.testing.assert_allclose(z_new2, z_ref2, atol=2e-5)
