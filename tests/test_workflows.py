@@ -123,6 +123,49 @@ def test_model_comparison():
     assert table["gnn"]["rmse_mitigated"] < table["gnn"]["rmse_noisy"]
 
 
+def test_paper_parity_schema():
+    """The shipped parity artifact is complete and machine-written: all 3
+    settings x all columns x >=3 seeds, full precision, and a noisy arm
+    calibrated to within 15% of the published regime."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "results",
+                        "paper_parity_table.json")
+    with open(path) as f:
+        t = json.load(f)
+    assert t["schema"] == "paper_parity/v2"
+    assert len(t["seeds"]) >= 3
+    models = {"noisy", "random_forest", "mlp", "ols", "gnn", "zne",
+              "zne_untwirled"}
+    assert set(t["settings"]) == {"incoherent", "coherent", "no_readout"}
+    for s, v in t["settings"].items():
+        assert models <= set(v["ours_mean"]), (s, sorted(v["ours_mean"]))
+        assert models <= set(v["ours_std"])
+        assert set(v["published"]) == {"noisy", "random_forest", "mlp",
+                                       "ols", "gnn", "zne"}
+        assert len(v["per_seed"]) == len(t["seeds"])
+        for m in models - {"noisy"}:
+            assert v["improvement_ours"][m] > 0
+        # like-for-like regime: noisy arm within 15% of published
+        rel = abs(v["ours_mean"]["noisy"] - v["published"]["noisy"]) \
+            / v["published"]["noisy"]
+        assert rel < 0.15, (s, v["ours_mean"]["noisy"], v["published"]["noisy"])
+    # published-family bands on the artifact itself (the teeth: a
+    # barely-better-than-noisy arm in a regenerated artifact must fail)
+    inc = t["settings"]["incoherent"]["improvement_ours"]
+    assert inc["random_forest"] >= 2.0, inc
+    assert inc["gnn"] >= 1.2, inc
+    assert inc["zne"] >= 1.1, inc
+    coh = t["settings"]["coherent"]["improvement_ours"]
+    # twirl->fold->extrapolate must fix coherent ZNE (published 1.02x);
+    # untwirled folding alone cannot (the r2 regression this guards)
+    assert coh["zne"] >= 1.2, coh
+    assert coh["zne"] > coh["zne_untwirled"], coh
+    nor = t["settings"]["no_readout"]["improvement_ours"]
+    assert nor["random_forest"] >= 1.8 and nor["zne"] >= 1.1, nor
+
+
 def test_finetune_cross_device():
     from mlqem_tpu.models.mlp import MLP1
     from mlqem_tpu.models.train import train_mlp
@@ -162,16 +205,18 @@ def test_scalability_sweep():
 
 
 def test_single_ising_parity_improvements():
-    """Our improvement factors land in the published bundle's family
-    (paper_figures/*_single_ising.pk: RF 2.6x, MLP 2.2x, ZNE 1.4x)."""
+    """Live pipeline run of the parity protocol at the CALIBRATED noise
+    scale (reduced size; the tight published-family bands live on the
+    shipped artifact in test_paper_parity_schema — regenerating it with a
+    regressed arm fails there). ZNE arms are covered live by
+    test_zne_twirled_coherent, so this run skips them."""
     from mlqem_tpu.workflows.paper_parity import single_ising_parity
 
     out = single_ising_parity("incoherent", num_train=120, max_steps=15,
                               num_test_steps=15, mlp_epochs=80,
-                              gnn_epochs=400, run_zne=True, seed=0)
+                              gnn_epochs=400, run_zne=False, seed=0)
     imp = out["improvement_ours"]
-    assert imp["random_forest"] > 1.5
-    assert imp["zne"] > 1.0
+    assert imp["random_forest"] > 2.0
     # published GNN improvement on this setting is 0.172/0.130 ≈ 1.3
-    assert imp["gnn"] > 1.0
+    assert imp["gnn"] > 1.2
     assert out["ours"]["random_forest"] < out["ours"]["noisy"]
