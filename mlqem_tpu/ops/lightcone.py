@@ -126,20 +126,12 @@ class LightconeIsing:
         if (self.readout and self._nm is not None
                 and self._nm.readout is not None):
             conf = self._nm.readout[q]
-        dim = 2 ** w
-        bits = ((np.arange(dim)[:, None] >> np.arange(w)[None, :]) & 1
-                ).astype(np.float32)
-        bit_pm = 2.0 * bits - 1.0                     # [dim, w]
-        bond_par = np.stack([bit_pm[:, a] * bit_pm[:, b]
-                             for (a, b) in bonds], axis=1)
         return {"start": start, "w": w, "obs": q - start, "bonds": bonds,
-                "probs": np.stack(probs), "confusion": conf,
-                "bit_pm": bit_pm, "bond_par": bond_par}
+                "probs": np.stack(probs), "confusion": conf}
 
     # -- the per-window jitted program --------------------------------------
     def _build(self, tw: Dict):
         w, obs, bonds = tw["w"], tw["obs"], tw["bonds"]
-        bit_pm_np, bond_par_np = tw["bit_pm"], tw["bond_par"]
         nb, S, T = len(bonds), self.steps, self.n_traj
         theta_h = 2.0 * self.h * self.dt
         shots = self.shots
@@ -185,29 +177,38 @@ class LightconeIsing:
                 step_fn, (zero, zero), (pa, pb))
             return kick_s, bond_s, flip_s
 
-        # uniform-sign (ideal-arm) phase vectors, precomputed on host so
-        # XLA never constant-folds an all-ones [B, dim] sign matmul inside
-        # the scan body (a multi-minute stall at dim = 2^21)
-        kick_sum_np = bit_pm_np.sum(axis=1)            # [dim]
-        bond_sum_np = bond_par_np.sum(axis=1)          # [dim]
+        def bit_tables(dim):
+            """[dim, w] (−1)^{bit_q} and [dim, nb] bond parities, built
+            from iota INSIDE jit: at w=21 these are 170MB+ each, so
+            embedding them as program constants blows past the remote
+            compiler's request-body limit (HTTP 413 on the axon tunnel).
+            As uniform-sign (ideal-arm) phase vectors they also must not
+            reach a constant-foldable [B, dim] matmul — a multi-minute
+            scalar-evaluator stall; the sums below fold linearly."""
+            lane = jax.lax.iota(jnp.int32, dim)
+            bit_pm = 2.0 * jnp.stack(
+                [((lane >> q) & 1).astype(jnp.float32) for q in range(w)],
+                axis=1) - 1.0                           # [dim, w]
+            bond_par = jnp.stack([bit_pm[:, a] * bit_pm[:, b]
+                                  for (a, b) in bonds], axis=1)
+            return bit_pm, bond_par
 
         def evolve_stepwise(theta_j_bt, kick_s, bond_s):
             """Per-step ⟨Z_obs⟩ of the frame-evolved state: [S, BT].
 
             ``kick_s``/``bond_s`` = ``None`` means uniform +1 signs (the
             ideal arm): the per-step phase exponents collapse to fixed
-            host-precomputed [dim] vectors instead of sign matmuls.
+            [dim] vectors instead of sign matmuls.
             """
             dim = 2 ** w
             BT = theta_j_bt.shape[0]
-            bit_pm = jnp.asarray(bit_pm_np)
-            bond_par = jnp.asarray(bond_par_np)
+            bit_pm, bond_par = bit_tables(dim)
             mz = -bit_pm[:, obs]                       # ⟨Z⟩ weights [dim]
             state = jnp.zeros((BT, dim), COMPLEX_DTYPE).at[:, 0].set(1.0)
             uniform = kick_s is None
             if uniform:
-                kick_expo = jnp.asarray((theta_h / 2.0) * kick_sum_np)
-                bond_unit = jnp.asarray(bond_sum_np)
+                kick_expo = (theta_h / 2.0) * bit_pm.sum(axis=1)   # [dim]
+                bond_unit = bond_par.sum(axis=1)                   # [dim]
                 xs = jnp.zeros((S,), jnp.float32)
             else:
                 xs = (kick_s, bond_s)
