@@ -51,7 +51,7 @@ def test_random_rotation_clifford_circuits_match():
     gates_1q = ["x", "y", "z", "h", "s", "sdg", "t", "tdg", "sx", "sxdg"]
     gates_2q = ["cx", "cy", "cz", "swap"]
     circs = []
-    for _ in range(4):
+    for _ in range(3):
         qc = Circuit(5)
         for _ in range(40):
             k = rng.integers(5)

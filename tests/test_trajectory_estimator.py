@@ -37,7 +37,7 @@ def test_wide_circuit_16q():
     dev = configurable_device(16, seed=0)
     ops = IsingOptions(nq=16, h=1.0, J=0.2, dt=0.5, depth=2)
     qc = IsingModel.make_circuit(ops, measure=False)
-    est = TrajectoryEstimator(dev, n_traj=256)
+    est = TrajectoryEstimator(dev, n_traj=128)
     vals = est.run([qc, qc], [single_z(0, 16), single_z(8, 16)]
                    ).result().values
     assert np.all(np.abs(vals) <= 1.0)
