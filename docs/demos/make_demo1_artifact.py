@@ -38,6 +38,15 @@ def main():
                     help="reduced scale (smoke, NOT the artifact)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--twirls", type=int, default=None,
+                    help="twirl instances per (circuit, noise factor); "
+                         "default 16 full / 5 fast. The campaign submits "
+                         "5 external repeats, but resilience_level=2's "
+                         "runtime averages many internal layer-twirl "
+                         "randomizations on top (h31 Options cells).")
+    ap.add_argument("--noise-scale", type=float, default=None,
+                    help="channel-strength scale (default: the calibrated "
+                         "DEMO1_CALIBRATED_SCALE at full size, 1.0 --fast)")
     ap.add_argument("--out", default=_os.path.join(
         RESULTS, "demo1_100q_simulated.json"))
     args = ap.parse_args()
@@ -45,7 +54,8 @@ def main():
     import numpy as np
 
     from mlqem_tpu.device.registry import configurable_device
-    from mlqem_tpu.workflows.demos import (demo1_zne_mimic_100q,
+    from mlqem_tpu.workflows.demos import (DEMO1_CALIBRATED_SCALE,
+                                           demo1_zne_mimic_100q,
                                            lightcone_crosscheck)
 
     nq = 40 if args.fast else 100
@@ -83,16 +93,22 @@ def main():
     t1 = time.time()
     print(f"running demo1 at {steps} Trotter steps ({nq}q, "
           "light-cone engine)...", flush=True)
+    noise_scale = args.noise_scale if args.noise_scale is not None else \
+        (1.0 if args.fast else DEMO1_CALIBRATED_SCALE)
+    num_twirls = args.twirls if args.twirls is not None else \
+        (5 if args.fast else 16)
     out = demo1_zne_mimic_100q(
         device=dev, nq=nq, num_steps=steps, qubits=qubits,
-        shots=10000, num_twirls=5, seed=args.seed)
+        shots=10000, num_twirls=num_twirls, noise_scale=noise_scale,
+        seed=args.seed)
     rows = out.pop("rows")
     out["rows_count"] = len(rows)
     out["config"] = (
         f"config_100q_paper_Clifford (h=0.5pi, dt=0.5, J sweep, {steps} "
-        f"Trotter steps, exact light-cone engine, 5 twirls x 10000 "
+        f"Trotter steps, exact light-cone engine, {num_twirls} twirls x 10000 "
         f"binomial shots per (step, J) point), noise from synthetic "
-        f"{nq}q calibration")
+        f"{nq}q calibration at channel scale {noise_scale} (calibrated "
+        f"to the published noisy baseline 0.0656)")
     out["crosscheck"] = xck
     audit_path = _os.path.join(RESULTS, "truncation_audit_tpu.json")
     if _os.path.exists(audit_path):

@@ -27,6 +27,14 @@ from ..metrics import l2_distance_per_step, rmse
 from ..models.forest import RandomForestRegressor
 from ..ops.pauli_prop import PauliPropagatorIsing
 
+# Channel-strength scale at which demo1's synthetic 100q device reproduces
+# the published noisy baseline (ibm_brisbane campaign: RMSE 0.06558,
+# BASELINE.md demo1 rows). Fitted on the TPU by bisection over the demo's
+# noisy arm; the 5-twirl protocol's own sampling noise is ±0.02 RMSE, so
+# scales in ~[0.22, 0.27] are within one realization of the target
+# (measured 0.048-0.075 across that bracket).
+DEMO1_CALIBRATED_SCALE = 0.26
+
 
 def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          nq: int = 100,
@@ -47,6 +55,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          shots: Optional[int] = 10000,
                          num_twirls: int = 5,
                          engine: str = "lightcone",
+                         noise_scale: Optional[float] = None,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape — at the reference's FULL
     depth (``demo1_rf_mimic_zne_100q_twirl.ipynb`` spans Trotter steps
@@ -83,12 +92,19 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     qubits = [q for q in qubits if q < nq]
     all_J = J_train + J_test
     J_arr = np.asarray(all_J, np.float32)
+    # noise_scale calibrates the synthetic regime to the published noisy
+    # baseline (demo1 hardware: RMSE 0.0656 on ibm_brisbane) — same
+    # philosophy as the paper-parity CALIBRATED_SCALE
+    from ..device.noise import NoiseModel
+    nm = None if noise_scale is None else \
+        NoiseModel.from_device(device, scale=float(noise_scale))
 
     if engine == "lightcone":
         from ..ops.lightcone import LightconeIsing
 
         eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
-                             n_traj=max(int(num_twirls), 1), shots=shots)
+                             n_traj=max(int(num_twirls), 1), shots=shots,
+                             noise_model=nm)
         noisy_sw, ideal_sw = eng.generate_stepwise(
             J_arr, noise_factors[0], qubits, seed=seed)
         amp_sw, _ = eng.generate_stepwise(
@@ -98,7 +114,8 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     elif engine == "pauli_prop":
         # one stepwise propagation per arm covers every depth 1..num_steps
         eng = PauliPropagatorIsing(device, nq=nq, steps=num_steps, dt=dt,
-                                   h=h, max_terms=max_terms)
+                                   h=h, max_terms=max_terms,
+                                   noise_model=nm)
         noisy_sw, err1 = eng.generate_stepwise(J_arr, noise_factors[0],
                                                qubits)
         amp_sw, err3 = eng.generate_stepwise(J_arr, noise_factors[1],
@@ -180,6 +197,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         "rmse_per_step": per_step,
         "max_truncation_discard": max_disc,
         "engine": engine,
+        "noise_scale": noise_scale,
         "qubits": list(qubits),
         "rows": rows,
     }
