@@ -188,7 +188,7 @@ def run_trajectories(ct: CircuitTensor, pauli_probs: jnp.ndarray,
 
 def run_trajectories_presampled(ct_struct: CircuitTensor,
                                 params: jnp.ndarray,
-                                choices: jnp.ndarray, n_traj: int,
+                                choices: jnp.ndarray,
                                 num_qubits: int) -> jnp.ndarray:
     """Trajectory ensemble with pre-sampled Pauli choices (scan engine).
 

@@ -39,7 +39,7 @@ def test_ising_template_matches_generic_engine():
     J = np.random.default_rng(1).uniform(0.05, 0.6, B).astype(np.float32)
     ct = tpl.bind(jnp.asarray(J[:, None]))
     choices = _choices(pp[None, None], (B, T, ct0.max_ops))
-    sv = run_trajectories_presampled(ct0, ct.params, choices, T, nq)
+    sv = run_trajectories_presampled(ct0, ct.params, choices, nq)
     p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
     p_new = np.asarray(run_frame_trajectories_probs(
         ct0, ct.params, choices, nq))
@@ -78,7 +78,7 @@ def test_random_rotation_clifford_circuits_match():
     for i in range(len(circs)):
         cti = CircuitTensor(ct.gate_ids[i], ct.qubits[i], ct.params[i], 5)
         sv = run_trajectories_presampled(
-            cti, jnp.asarray(ct.params[i][None]), choices[i][None], T, 5)
+            cti, jnp.asarray(ct.params[i][None]), choices[i][None], 5)
         p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))[0]
         p_new = np.asarray(run_frame_trajectories_probs(
             cti, jnp.asarray(ct.params[i][None]), choices[i][None],
@@ -107,7 +107,7 @@ def test_id_gate_noise_enters_the_frame():
     choices = jnp.asarray(choices)
     cti = CircuitTensor(ct.gate_ids[0], ct.qubits[0], ct.params[0], 3)
     sv = run_trajectories_presampled(cti, jnp.asarray(ct.params),
-                                     choices, 2, 3)
+                                     choices, 3)
     p_ref = np.asarray(jnp.real(sv * jnp.conj(sv)))
     p_new = np.asarray(run_frame_trajectories_probs(
         cti, jnp.asarray(ct.params), choices, 3))
