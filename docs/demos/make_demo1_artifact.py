@@ -38,12 +38,10 @@ def main():
                     help="reduced scale (smoke, NOT the artifact)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--twirls", type=int, default=None,
+    ap.add_argument("--twirls", type=int, default=5,
                     help="twirl instances per (circuit, noise factor); "
-                         "default 16 full / 5 fast. The campaign submits "
-                         "5 external repeats, but resilience_level=2's "
-                         "runtime averages many internal layer-twirl "
-                         "randomizations on top (h31 Options cells).")
+                         "5 = the campaign's reshape(n, 5, 5).mean(-1) "
+                         "repeat count (demo1 nb cell 6)")
     ap.add_argument("--noise-scale", type=float, default=None,
                     help="channel-strength scale (default: the calibrated "
                          "DEMO1_CALIBRATED_SCALE at full size, 1.0 --fast)")
@@ -95,17 +93,20 @@ def main():
           "light-cone engine)...", flush=True)
     noise_scale = args.noise_scale if args.noise_scale is not None else \
         (1.0 if args.fast else DEMO1_CALIBRATED_SCALE)
-    num_twirls = args.twirls if args.twirls is not None else \
-        (5 if args.fast else 16)
+    num_twirls = args.twirls
     out = demo1_zne_mimic_100q(
         device=dev, nq=nq, num_steps=steps, qubits=qubits,
+        num_circ_per_step=10 if args.fast else 50,
+        train_per_step=2 if args.fast else 10,
         shots=10000, num_twirls=num_twirls, noise_scale=noise_scale,
         seed=args.seed)
     rows = out.pop("rows")
     out["rows_count"] = len(rows)
+    ncps = 10 if args.fast else 50
     out["config"] = (
-        f"config_100q_paper_Clifford (h=0.5pi, dt=0.5, J sweep, {steps} "
-        f"Trotter steps, exact light-cone engine, {num_twirls} twirls x 10000 "
+        f"config_100q_paper_Clifford (h=0.5pi, dt=0.5, {steps} Trotter "
+        f"steps, {ncps} random-J circuits/step ({'2' if args.fast else '10'}"
+        f" train), exact light-cone engine, {num_twirls} twirls x 10000 "
         f"binomial shots per (step, J) point), noise from synthetic "
         f"{nq}q calibration at channel scale {noise_scale} (calibrated "
         f"to the published noisy baseline 0.0656)")
