@@ -121,6 +121,14 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out} ({time.time() - t1:.0f}s)")
+
+    from mlqem_tpu.workflows.figures import figure_demo1
+
+    png = args.out.rsplit(".", 1)[0] + "_per_step.png"
+    figure_demo1(out["rmse_per_step"],
+                 published={"noisy": 0.06558, "mimic": 0.03482},
+                 save_path=png)
+    print(f"wrote {png}")
     print(f"RMSE noisy {out['rmse_noisy']:.5f} | zne {out['rmse_zne']:.5f}"
           f" | mimic {out['rmse_mimic']:.5f} "
           f"({out['rmse_noisy'] / out['rmse_mimic']:.2f}x)")

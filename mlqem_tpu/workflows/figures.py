@@ -140,3 +140,35 @@ def figure_paper_parity(table: Dict[str, Dict],
     if save_path:
         fig.savefig(save_path, dpi=150)
     return fig
+
+
+def figure_demo1(per_step: Dict[str, Sequence[float]],
+                 published: Optional[Dict[str, float]] = None,
+                 save_path: Optional[str] = None):
+    """demo1's per-step RMSE curves (noisy / ZNE / RF-mimic arms).
+
+    ``per_step``: {"noisy"/"zne"/"mimic": [rmse per Trotter step]} as in
+    ``demo1_zne_mimic_100q()["rmse_per_step"]``; ``published`` optionally
+    draws the hardware campaign's aggregate anchors as horizontal lines
+    (BASELINE.md demo1 rows: noisy 0.0656, mimic 0.0348).
+    """
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    steps = np.arange(1, len(next(iter(per_step.values()))) + 1)
+    styles = {"noisy": ("o-", "tab:red"), "zne": ("s--", "tab:orange"),
+              "mimic": ("d-", "tab:blue")}
+    for arm, vals in per_step.items():
+        m, c = styles.get(arm, ("x-", None))
+        ax.plot(steps, vals, m, color=c, label=arm)
+    if published:
+        for arm, v in published.items():
+            ax.axhline(v, color="gray", lw=0.8, ls=":",
+                       label=f"published {arm} (agg)")
+    ax.set_xlabel("Trotter step")
+    ax.set_ylabel("RMSE vs ideal (test split)")
+    ax.set_title("demo1: 100Q RF-mimics-ZNE, per-step RMSE")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+    return fig
