@@ -27,9 +27,13 @@ from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
 
 
 def main():
+    from mlqem_tpu.workflows.demos import DEMO1_CALIBRATED_SCALE
+
     dev = configurable_device(100, seed=1)
-    # the reference's full depth — exact light-cone engine, no truncation
-    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=10, seed=0)
+    # the reference's full depth — exact light-cone engine, no truncation,
+    # noise regime calibrated to the published noisy baseline
+    out = demo1_zne_mimic_100q(device=dev, nq=100, num_steps=10,
+                               noise_scale=DEMO1_CALIBRATED_SCALE, seed=0)
     print("qubits:", out["qubits"])
     print(f"RMSE noisy : {out['rmse_noisy']:.5f}")
     print(f"RMSE ZNE   : {out['rmse_zne']:.5f}")
