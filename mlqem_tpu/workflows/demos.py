@@ -5,11 +5,13 @@ The reference's two advertised reproductions (``README.md:39-42``,
 reference could only take from IBM hardware:
 
 * :func:`demo1_zne_mimic_100q` — ``demo1_rf_mimic_zne_100q_twirl``: 100Q
-  TFIM Trotter; noisy + noise-amplified expectation values from the sparse
-  Pauli-propagation engine (truly 100 qubits, twirled device noise); linear
-  ZNE extrapolation ``nf1 − (nf3 − nf1)/2`` (the demo's exact formula);
-  per-qubit random forests trained to mimic ZNE from noisy values; RMSE
-  table vs the ideal (noise-free propagation) reference.
+  TFIM Trotter at the published full depth (steps 1–10); noisy +
+  noise-amplified expectation values from the exact light-cone engine
+  (default; hardware-protocol twirl + binomial shot sampling) or the
+  sparse Pauli-propagation engine; linear ZNE extrapolation
+  ``nf1 − (nf3 − nf1)/2`` (the demo's exact formula); per-qubit random
+  forests trained to mimic ZNE from noisy values; RMSE table vs the
+  ideal (noise-free) reference.
 * :func:`demo2_ising_4q` — ``demo2_ising_4q_hardware_plot``: 4Q TFIM
   step sweep, RF mitigation, per-qubit/aggregate RMSE + L2-per-step.
 """
