@@ -84,8 +84,15 @@ def _fit_tree(X: np.ndarray, y: np.ndarray, rng: np.random.Generator,
         if not np.isfinite(sse[row, col]):
             return None
         f = int(feats[col])
-        thr = 0.5 * (xs_sorted[row, col] + xs_sorted[row + 1, col])
-        return f, float(thr), sse[row, col]
+        a = float(xs_sorted[row, col])
+        b = float(xs_sorted[row + 1, col])
+        thr = 0.5 * (a + b)
+        # float32 midpoint of adjacent representable values can round up
+        # to b, emptying the right branch (infinite recursion in grow);
+        # splitting at a keeps both sides nonempty since valid ⇒ b > a
+        if np.float32(thr) >= np.float32(b):
+            thr = a
+        return f, thr, sse[row, col]
 
     def grow(idx: np.ndarray, depth: int) -> int:
         nonlocal max_seen_depth
@@ -104,6 +111,9 @@ def _fit_tree(X: np.ndarray, y: np.ndarray, rng: np.random.Generator,
             return node
         f, thr, _ = split
         mask = X[idx, f] <= thr
+        if mask.all() or not mask.any():   # degenerate split → leaf
+            left[node] = right[node] = node
+            return node
         li = grow(idx[mask], depth + 1)
         ri = grow(idx[~mask], depth + 1)
         feature[node] = f
