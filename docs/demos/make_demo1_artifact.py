@@ -99,6 +99,8 @@ def main():
         num_circ_per_step=10 if args.fast else 50,
         train_per_step=2 if args.fast else 10,
         shots=10000, num_twirls=num_twirls, noise_scale=noise_scale,
+        arrays_cache=None if args.fast else _os.path.join(
+            RESULTS, "demo1_arrays_cache.npz"),
         seed=args.seed)
     rows = out.pop("rows")
     out["rows_count"] = len(rows)

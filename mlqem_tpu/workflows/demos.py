@@ -59,6 +59,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          num_twirls: int = 5,
                          engine: str = "lightcone",
                          noise_scale: Optional[float] = None,
+                         arrays_cache: Optional[str] = None,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape — at the reference's FULL
     depth (``demo1_rf_mimic_zne_100q_twirl.ipynb`` spans Trotter steps
@@ -120,7 +121,34 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     nm = None if noise_scale is None else \
         NoiseModel.from_device(device, scale=float(noise_scale))
 
-    if engine == "lightcone":
+    import os
+
+    cache_key = None
+    if arrays_cache is not None:
+        cache_key = dict(J=J_arr, qubits=np.asarray(qubits, np.int32),
+                         steps=num_steps, engine=engine,
+                         scale=-1.0 if noise_scale is None else noise_scale,
+                         twirls=num_twirls, seed=seed)
+    if cache_key is not None and os.path.exists(arrays_cache):
+        z = np.load(arrays_cache)
+        if (z["steps"] == num_steps and z["engine"] == engine
+                and np.array_equal(z["J"], J_arr)
+                and np.array_equal(z["qubits"], cache_key["qubits"])
+                and float(z["scale"]) == float(cache_key["scale"])
+                and int(z["twirls"]) == num_twirls
+                and int(z["seed"]) == seed):
+            noisy_sw, amp_sw, ideal_sw = (z["noisy_sw"], z["amp_sw"],
+                                          z["ideal_sw"])
+            max_disc = float(z["max_disc"])
+            engine_done = True
+        else:
+            engine_done = False
+    else:
+        engine_done = False
+
+    if engine_done:
+        pass
+    elif engine == "lightcone":
         from ..ops.lightcone import LightconeIsing
 
         eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
@@ -149,6 +177,13 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     else:
         raise ValueError(f"unknown engine {engine!r} "
                          "(lightcone | pauli_prop)")
+
+    if cache_key is not None and not engine_done:
+        # the engine arms are hours of compute at full scale — checkpoint
+        # them so post-processing (RF mimic, splits) reruns are free
+        np.savez(arrays_cache, noisy_sw=noisy_sw, amp_sw=amp_sw,
+                 ideal_sw=ideal_sw, max_disc=np.float32(max_disc),
+                 **cache_key)
 
     def sample_shots(z):
         """Binomial measurement of ⟨Z_q⟩: hardware counts semantics.
