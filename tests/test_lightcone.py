@@ -117,3 +117,20 @@ def test_demo1_lightcone_smoke(device):
     # inequality is checked on the real 100q artifact instead
     for k in ("rmse_noisy", "rmse_zne", "rmse_mimic"):
         assert 0.0 < out[k] < 1.0, (k, out[k])
+
+
+def test_demo1_arrays_cache_roundtrip(tmp_path, device):
+    """The engine-arm checkpoint reuses arms only on an exact protocol
+    match (J draw/qubits/steps/scale/twirls/seed)."""
+    from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
+
+    cache = str(tmp_path / "arms.npz")
+    kw = dict(device=device, nq=NQ, num_steps=2, qubits=(0, NQ - 1),
+              num_circ_per_step=6, train_per_step=2, shots=1000,
+              num_twirls=3, noise_scale=0.5, arrays_cache=cache, seed=0)
+    o1 = demo1_zne_mimic_100q(**kw)
+    o2 = demo1_zne_mimic_100q(**kw)            # hit
+    for k in ("rmse_noisy", "rmse_zne", "rmse_mimic"):
+        assert o1[k] == o2[k]
+    o3 = demo1_zne_mimic_100q(**{**kw, "seed": 1})   # miss (new J draw)
+    assert o3["rmse_noisy"] != o1["rmse_noisy"]
