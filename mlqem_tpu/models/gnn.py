@@ -184,9 +184,13 @@ class ASAPoolingDense(nn.Module):
     """Dense ASAPooling: LEConv fitness → top-⌈ratio·N⌉ cluster selection →
     attention-weighted cluster features → coarsened adjacency S^T A S.
 
-    Keeps the padded node count N static (TPU-friendly): pooling updates the
-    node_mask instead of shrinking arrays, and re-sorts selected clusters to
-    the front.
+    Static shapes, but pooling REALLY pools: kept clusters sort to the
+    front (scores descending, padding at _NEG sorts last), so the per-sample
+    keep mask is a contiguous prefix of length ≤ ⌈ratio·N⌉ and the outputs
+    are statically sliced to that bound. The downstream conv + pooling then
+    run at N/2 — the coarsened ``SᵀAS``-style [B,N,N]@[B,N,N] matmul was
+    the whole model's FLOP peak, and shrinking makes it 4× (rows/cols
+    sliced) then 8× (next level) cheaper with bit-identical kept values.
     """
 
     channels: int
@@ -219,16 +223,20 @@ class ASAPoolingDense(nn.Module):
         rank = jnp.argsort(order, axis=-1)
         keep = (rank < keep_counts[:, None]) & node_mask
 
-        # gather kept clusters to the front (static shapes)
+        # gather kept clusters to the front; keep_counts ≤ n_keep always,
+        # so slicing to n_keep drops only non-kept rows
+        n_keep = int(np.ceil(self.ratio * N))
         perm = order                                           # [B, N]
         x_perm = jnp.take_along_axis(cluster_x * fitness[..., None],
-                                     perm[..., None], axis=1)
-        keep_perm = jnp.take_along_axis(keep, perm, axis=1)
+                                     perm[:, :n_keep, None], axis=1)
+        keep_perm = jnp.take_along_axis(keep, perm[:, :n_keep], axis=1)
         adj_perm = jnp.take_along_axis(
             jnp.take_along_axis(adj_self, perm[:, :, None], axis=1),
             perm[:, None, :], axis=2)
-        # coarsened connectivity: clusters are adjacent if any member pair is
-        adj2 = jnp.clip(adj_perm @ adj_perm, 0.0, 1.0)
+        # coarsened connectivity: clusters are adjacent if any member pair
+        # is — only the kept block is needed, so slice the matmul operands
+        adj2 = jnp.clip(adj_perm[:, :n_keep, :] @ adj_perm[:, :, :n_keep],
+                        0.0, 1.0)
         adj2 = adj2 * keep_perm[:, :, None] * keep_perm[:, None, :]
         x_out = x_perm * keep_perm[..., None]
         return x_out, adj2, keep_perm
