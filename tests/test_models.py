@@ -110,6 +110,36 @@ def test_transformer_conv_masking():
     np.testing.assert_allclose(np.asarray(out[:, 4:]), 0.0, atol=1e-6)
 
 
+def test_asa_pooling_shrinks_to_kept_prefix():
+    """ASAPooling returns statically-shrunk arrays: shape bound
+    ceil(ratio*N), per-sample kept count = ceil(ratio*n_valid) as a
+    CONTIGUOUS prefix (the shrink's correctness precondition), dropped
+    rows/cols zeroed."""
+    from mlqem_tpu.models.gnn import ASAPoolingDense
+
+    rng = np.random.default_rng(3)
+    B, N, C = 4, 11, 6
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    adj = jnp.asarray((rng.random((B, N, N)) < 0.3).astype(np.float32))
+    mask_np = np.ones((B, N), bool)
+    mask_np[1, 8:] = False
+    mask_np[3, 5:] = False
+    mask = jnp.asarray(mask_np)
+    pool = ASAPoolingDense(C, ratio=0.5)
+    v = pool.init(jax.random.PRNGKey(0), x, adj, mask)
+    x2, adj2, keep = map(np.asarray, pool.apply(v, x, adj, mask))
+    n_keep = int(np.ceil(0.5 * N))
+    assert x2.shape == (B, n_keep, C)
+    assert adj2.shape == (B, n_keep, n_keep)
+    for b in range(B):
+        kc = int(np.ceil(0.5 * mask_np[b].sum()))
+        assert keep[b].sum() == kc
+        assert keep[b, :kc].all() and not keep[b, kc:].any(), keep[b]
+        np.testing.assert_allclose(x2[b, kc:], 0.0)
+        np.testing.assert_allclose(adj2[b, kc:, :], 0.0)
+        np.testing.assert_allclose(adj2[b, :, kc:], 0.0)
+
+
 def _toy_graph_data(B=20, N=8, F=22, K=4, seed=0):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(B, N, F)).astype(np.float32)
