@@ -271,7 +271,8 @@ class LightconeIsing:
                           noise_scale: float = 1.0,
                           qubits: Optional[Sequence[int]] = None,
                           seed: int = 0,
-                          want_ideal: bool = True
+                          want_ideal: bool = True,
+                          readout_correct: bool = False
                           ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """(noisy [B, steps, Q], ideal [B, steps, Q]) — exact per-step
         ⟨Z_q⟩ through every depth ≤ ``steps``; ``noise_scale`` composes
@@ -281,6 +282,18 @@ class LightconeIsing:
         ``want_ideal=False`` skips the noise-free arm (returns ``None``
         for it) — the ideal values do not depend on ``noise_scale``, so
         amplified-arm calls should not pay a second exact evolution.
+
+        ``readout_correct=True`` inverts the calibrated readout affine on
+        the shot estimates: z ← (z_meas − b)/a per qubit — the IBM
+        runtime's TREX readout mitigation (resilience_level ≥ 1, active in
+        the reference's 100Q ZNE campaign, ``h31`` Options cells), which
+        every demo1 arm receives on hardware. Folding amplifies only the
+        CX channels, so WITHOUT this the un-amplified readout bias rides
+        through the extrapolation unmitigated (plus 2× variance), and
+        simulated ZNE loses to the noisy arm in regimes where hardware
+        ZNE wins. The sampled shot noise is still taken on the raw
+        (confused) probabilities, then inflated by 1/a — exactly the
+        hardware estimator's error propagation.
         """
         from .trajectory import compose_pauli_channel
 
@@ -312,4 +325,6 @@ class LightconeIsing:
             else:
                 n = fns["noisy"](*args)
             noisy[:, :, qi] = np.asarray(n)
+            if readout_correct and (a, b) != (1.0, 0.0):
+                noisy[:, :, qi] = (noisy[:, :, qi] - b) / a
         return noisy, ideal

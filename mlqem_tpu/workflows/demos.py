@@ -128,7 +128,8 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         cache_key = dict(J=J_arr, qubits=np.asarray(qubits, np.int32),
                          steps=num_steps, engine=engine,
                          scale=-1.0 if noise_scale is None else noise_scale,
-                         twirls=num_twirls, seed=seed)
+                         twirls=num_twirls, seed=seed,
+                         proto=2)   # v2: TREX readout correction on arms
     if cache_key is not None and os.path.exists(arrays_cache):
         z = np.load(arrays_cache)
         if (z["steps"] == num_steps and z["engine"] == engine
@@ -136,7 +137,8 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                 and np.array_equal(z["qubits"], cache_key["qubits"])
                 and float(z["scale"]) == float(cache_key["scale"])
                 and int(z["twirls"]) == num_twirls
-                and int(z["seed"]) == seed):
+                and int(z["seed"]) == seed
+                and ("proto" in z and int(z["proto"]) == cache_key["proto"])):
             noisy_sw, amp_sw, ideal_sw = (z["noisy_sw"], z["amp_sw"],
                                           z["ideal_sw"])
             max_disc = float(z["max_disc"])
@@ -154,11 +156,16 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
                              n_traj=max(int(num_twirls), 1), shots=shots,
                              noise_model=nm)
+        # readout_correct = the runtime's TREX mitigation (resilience>=1,
+        # on for every arm of the reference campaign, h31 Options): ZNE
+        # folds only the CX channels, so the readout affine must be
+        # calibrated out or its bias survives the extrapolation
         noisy_sw, ideal_sw = eng.generate_stepwise(
-            J_arr, noise_factors[0], qubits, seed=seed)
+            J_arr, noise_factors[0], qubits, seed=seed,
+            readout_correct=True)
         amp_sw, _ = eng.generate_stepwise(
             J_arr, noise_factors[1], qubits, seed=seed + 1,
-            want_ideal=False)
+            want_ideal=False, readout_correct=True)
         max_disc = 0.0
     elif engine == "pauli_prop":
         # one stepwise propagation per arm covers every depth 1..num_steps

@@ -83,6 +83,29 @@ def test_readout_affine_closed_form(device):
     assert np.abs(got - (a * ideal + b)).max() < 1e-5
 
 
+def test_readout_correction_inverts_confusion(device):
+    """readout_correct=True (the runtime's TREX semantics) must exactly
+    undo the confusion affine at shots=None: corrected-confused values
+    equal the readout-free engine's values bit-for-bit (same trajectory
+    seed), including under CX channels at both ZNE noise factors."""
+    from mlqem_tpu.device.noise import NoiseModel
+
+    nm = NoiseModel.from_device(device)
+    nm_clean = NoiseModel.from_device(device)
+    nm_clean.readout = None
+    steps = 2
+    lc = LightconeIsing(device, nq=NQ, steps=steps, dt=DT, h=H,
+                        n_traj=8, shots=None, noise_model=nm)
+    lc_clean = LightconeIsing(device, nq=NQ, steps=steps, dt=DT, h=H,
+                              n_traj=8, shots=None, noise_model=nm_clean)
+    for nf in (1, 3):
+        got, _ = lc.generate_stepwise(J, noise_scale=nf, qubits=QUBITS,
+                                      seed=3, readout_correct=True)
+        ref, _ = lc_clean.generate_stepwise(J, noise_scale=nf,
+                                            qubits=QUBITS, seed=3)
+        assert np.abs(got - ref).max() < 1e-6, nf
+
+
 def test_shot_sampling_is_binomial(device):
     """shots=N draws real counts: the estimate deviates from the exact
     value but is unbiased and within ~5σ of binomial spread."""
