@@ -60,6 +60,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          engine: str = "lightcone",
                          noise_scale: Optional[float] = None,
                          arrays_cache: Optional[str] = None,
+                         j_chunk: Optional[int] = None,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape — at the reference's FULL
     depth (``demo1_rf_mimic_zne_100q_twirl.ipynb`` spans Trotter steps
@@ -129,6 +130,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          steps=num_steps, engine=engine,
                          scale=-1.0 if noise_scale is None else noise_scale,
                          twirls=num_twirls, seed=seed,
+                         jchunk=0 if j_chunk is None else int(j_chunk),
                          proto=2)   # v2: TREX readout correction on arms
     if cache_key is not None and os.path.exists(arrays_cache):
         z = np.load(arrays_cache)
@@ -138,7 +140,9 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                 and float(z["scale"]) == float(cache_key["scale"])
                 and int(z["twirls"]) == num_twirls
                 and int(z["seed"]) == seed
-                and ("proto" in z and int(z["proto"]) == cache_key["proto"])):
+                and ("proto" in z and int(z["proto"]) == cache_key["proto"])
+                and ("jchunk" in z
+                     and int(z["jchunk"]) == cache_key["jchunk"])):
             noisy_sw, amp_sw, ideal_sw = (z["noisy_sw"], z["amp_sw"],
                                           z["ideal_sw"])
             max_disc = float(z["max_disc"])
@@ -156,16 +160,31 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
                              n_traj=max(int(num_twirls), 1), shots=shots,
                              noise_model=nm)
-        # readout_correct = the runtime's TREX mitigation (resilience>=1,
-        # on for every arm of the reference campaign, h31 Options): ZNE
-        # folds only the CX channels, so the readout affine must be
-        # calibrated out or its bias survives the extrapolation
-        noisy_sw, ideal_sw = eng.generate_stepwise(
-            J_arr, noise_factors[0], qubits, seed=seed,
-            readout_correct=True)
-        amp_sw, _ = eng.generate_stepwise(
-            J_arr, noise_factors[1], qubits, seed=seed + 1,
-            want_ideal=False, readout_correct=True)
+
+        # j_chunk bounds one jit call's state block (rows = chunk·T over a
+        # 2^w window): at the 50-circuit protocol with high twirl counts
+        # one unchunked call exceeds HBM. Chunks use stride-2 seed offsets
+        # so trajectory draws stay independent across chunks (the amp arm
+        # owns the odd parity).
+        def stepwise(nf, seed_, want_ideal):
+            step_ = j_chunk if j_chunk else len(J_arr)
+            outs_n, outs_i = [], []
+            for ci, s in enumerate(range(0, len(J_arr), step_)):
+                # readout_correct = the runtime's TREX mitigation
+                # (resilience>=1, on for every arm of the reference
+                # campaign, h31 Options): ZNE folds only the CX channels,
+                # so the readout affine must be calibrated out or its bias
+                # survives the extrapolation
+                n_, i_ = eng.generate_stepwise(
+                    J_arr[s:s + step_], nf, qubits, seed=seed_ + 2 * ci,
+                    want_ideal=want_ideal, readout_correct=True)
+                outs_n.append(n_)
+                outs_i.append(i_)
+            return (np.concatenate(outs_n),
+                    np.concatenate(outs_i) if want_ideal else None)
+
+        noisy_sw, ideal_sw = stepwise(noise_factors[0], seed, True)
+        amp_sw, _ = stepwise(noise_factors[1], seed + 1, False)
         max_disc = 0.0
     elif engine == "pauli_prop":
         # one stepwise propagation per arm covers every depth 1..num_steps
