@@ -38,10 +38,19 @@ def main():
                     help="reduced scale (smoke, NOT the artifact)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--twirls", type=int, default=5,
-                    help="twirl instances per (circuit, noise factor); "
-                         "5 = the campaign's reshape(n, 5, 5).mean(-1) "
-                         "repeat count (demo1 nb cell 6)")
+    ap.add_argument("--twirls", type=int, default=64,
+                    help="twirl instances per (circuit, noise factor). The "
+                         "campaign's OUTER repeat count is 5 (demo1 nb "
+                         "cell 6 reshape(n, 5, 5).mean(-1)), but each "
+                         "repeat is a resilience_level=2 runtime job that "
+                         "internally averages many layer-twirl "
+                         "randomizations (h31 Options) — 5 raw iid twirl "
+                         "instances carry far MORE sampling variance than "
+                         "5 hardware jobs. 64 iid instances stand in for "
+                         "the runtime's internal averaging.")
+    ap.add_argument("--j-chunk", type=int, default=5,
+                    help="circuits per engine jit call (bounds the "
+                         "rows x 2^21 state block under HBM)")
     ap.add_argument("--noise-scale", type=float, default=None,
                     help="channel-strength scale (default: the calibrated "
                          "DEMO1_CALIBRATED_SCALE at full size, 1.0 --fast)")
@@ -59,8 +68,16 @@ def main():
     nq = 40 if args.fast else 100
     steps = min(args.steps, 4) if args.fast else args.steps
     dev = configurable_device(nq, seed=1)
+    # the campaign's five interior observables (h31 obs_list)
     qubits = (0, nq // 4, nq // 2, 3 * nq // 4, nq - 1) if args.fast \
-        else (0, 24, 49, 74, 99)   # the audited demo1 observable set
+        else (11, 25, 39, 54, 94)
+    # the engine cross-validation runs on the AUDITED config (Clifford
+    # kick, the K=131072 TPU audit's observable set) — it certifies the
+    # light-cone engine itself; the campaign protocol (nonClifford kick,
+    # campaign J set) then runs on the certified engine. A second unit
+    # check pins the nonClifford kick at small nq
+    # (tests/test_lightcone.py::test_ideal_exact_vs_pauli_prop).
+    xck_qubits = qubits if args.fast else (0, 24, 49, 74, 99)
 
     t0 = time.time()
     print("cross-validating light-cone vs Pauli propagation "
@@ -73,7 +90,7 @@ def main():
         import numpy as _np
 
         ref_npz = _np.load(_os.path.join(RESULTS, "audit_values_tpu.npz"))
-        assert list(ref_npz["qubits"]) == list(qubits)
+        assert list(ref_npz["qubits"]) == list(xck_qubits)
         reference = {k: ref_npz[k] for k in ("ideal", "nf1", "nf3")}
     xck = lightcone_crosscheck(
         device=dev, nq=nq, steps=min(6, steps),
@@ -81,7 +98,7 @@ def main():
         n_traj=n_traj, reference=reference,
         # statistical tolerance: ~4 sigma of the trajectory mean
         noisy_tol=0.03 * (4096.0 / n_traj) ** 0.5,
-        qubits=qubits)
+        qubits=xck_qubits)
     print(f"  ideal_max_diff={xck['ideal_max_diff']:.2e} "
           f"noisy={xck['noisy_max_diff']} passed={xck['passed']} "
           f"({time.time() - t0:.0f}s)", flush=True)
@@ -101,17 +118,22 @@ def main():
         shots=10000, num_twirls=num_twirls, noise_scale=noise_scale,
         arrays_cache=None if args.fast else _os.path.join(
             RESULTS, "demo1_arrays_cache.npz"),
+        j_chunk=args.j_chunk if not args.fast else None,
         seed=args.seed)
     rows = out.pop("rows")
     out["rows_count"] = len(rows)
     ncps = 10 if args.fast else 50
     out["config"] = (
-        f"config_100q_paper_Clifford (h=0.5pi, dt=0.5, {steps} Trotter "
-        f"steps, {ncps} random-J circuits/step ({'2' if args.fast else '10'}"
-        f" train), exact light-cone engine, {num_twirls} twirls x 10000 "
-        f"binomial shots per (step, J) point), noise from synthetic "
-        f"{nq}q calibration at channel scale {noise_scale} (calibrated "
-        f"to the published noisy baseline 0.0656)")
+        f"campaign protocol: config_100q_paper_nonClifford (h=0.66pi, "
+        f"dt=0.5, {steps} Trotter steps), J = h31 get_Js seed-42 draw "
+        f"(J00 = the Clifford J=0 reference circuit), observables "
+        f"Z11/Z25/Z39/Z54/Z94, {ncps} circuits/step "
+        f"({'2' if args.fast else '10'} train), exact light-cone engine, "
+        f"{num_twirls} twirl instances x 10000 binomial shots per "
+        f"(step, J) point with TREX readout correction, noise from "
+        f"synthetic {nq}q calibration at channel scale {noise_scale} "
+        f"(calibrated on the Clifford-J00 damping + the published "
+        f"vs-ZNE noisy baseline 0.0656)")
     out["crosscheck"] = xck
     audit_path = _os.path.join(RESULTS, "truncation_audit_tpu.json")
     if _os.path.exists(audit_path):
@@ -126,17 +148,29 @@ def main():
 
     from mlqem_tpu.workflows.figures import figure_demo1
 
+    # headline figure: the PUBLISHED metric (distance to the ZNE
+    # reference — the anchors 0.0656/0.0348 live in that frame)
     png = args.out.rsplit(".", 1)[0] + "_per_step.png"
-    figure_demo1(out["rmse_per_step"],
+    figure_demo1(out["rmse_per_step_vs_zne"],
                  published={"noisy": 0.06558, "mimic": 0.03482},
                  save_path=png)
-    print(f"wrote {png}")
-    print(f"RMSE noisy {out['rmse_noisy']:.5f} | zne {out['rmse_zne']:.5f}"
-          f" | mimic {out['rmse_mimic']:.5f} "
+    png2 = args.out.rsplit(".", 1)[0] + "_per_step_vs_ideal.png"
+    figure_demo1(out["rmse_per_step"], save_path=png2)
+    print(f"wrote {png} and {png2}")
+    print(f"PUBLISHED metric (vs ZNE): noisy "
+          f"{out['rmse_noisy_vs_zne']:.5f} | mimic "
+          f"{out['rmse_mimic_vs_zne']:.5f} "
+          f"({out['improvement_vs_zne']:.2f}x; published "
+          f"0.06558 -> 0.03482, 1.88x)")
+    print(f"vs exact ideal: noisy {out['rmse_noisy']:.5f} | zne "
+          f"{out['rmse_zne']:.5f} | mimic {out['rmse_mimic']:.5f} "
           f"({out['rmse_noisy'] / out['rmse_mimic']:.2f}x)")
-    print("per-step noisy:", np.round(out["rmse_per_step"]["noisy"], 4))
-    print("per-step zne  :", np.round(out["rmse_per_step"]["zne"], 4))
-    print("per-step mimic:", np.round(out["rmse_per_step"]["mimic"], 4))
+    print("per-step vs-zne noisy:",
+          np.round(out["rmse_per_step_vs_zne"]["noisy"], 4))
+    print("per-step vs-zne mimic:",
+          np.round(out["rmse_per_step_vs_zne"]["mimic"], 4))
+    print("per-step vs-ideal noisy:", np.round(out["rmse_per_step"]["noisy"], 4))
+    print("per-step vs-ideal mimic:", np.round(out["rmse_per_step"]["mimic"], 4))
 
 
 if __name__ == "__main__":

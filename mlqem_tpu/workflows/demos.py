@@ -44,13 +44,17 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          J_test: Sequence[float] = None,
                          num_circ_per_step: int = 50,
                          train_per_step: int = 10,
-                         qubits: Sequence[int] = (0, 24, 49, 74, 99),
-                         # demo1's verifiable config: Clifford kick
-                         # (config_100q_paper_Clifford, h = 0.5π) — the
-                         # RX(π/2) layer is Clifford so Pauli propagation
-                         # splits only at the small-angle rz's and the
-                         # ideal reference converges tightly
-                         h: float = 0.5 * np.pi,
+                         # the campaign's five interior single-Z
+                         # observables (h31 obs_list: 'I'*5+'Z'+'I'*94 …
+                         # → qubits 94/54/39/25/11; ascending here)
+                         qubits: Sequence[int] = (11, 25, 39, 54, 94),
+                         # the campaign kick: config_100q_paper_nonClifford
+                         # (h = 0.66π, h31 cell 4); the J00 circuit alone
+                         # is the Clifford J=0 reference (h29's generator:
+                         # index 0 = construct_…_twirled_Cliff_func(J=0)),
+                         # reproduced below when the campaign J draw is in
+                         # effect
+                         h: float = 0.66 * np.pi,
                          dt: float = 0.5,
                          max_terms: int = 8192,
                          noise_factors=(1.0, 3.0),
@@ -104,12 +108,20 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
             np.round(np.linspace(0.05, 0.55, 6), 3).tolist()
         J_test = list(J_test) if J_test is not None else \
             np.round(np.linspace(0.08, 0.52, 5), 3).tolist()
+        j0_clifford = False
     else:
-        # the campaign's per-circuit random couplings (one batch of
-        # circuits reused across the step sweep — each row of the
-        # stepwise engine output is one (circuit, depth) sample); the
-        # unsorted draw keeps the train split J-representative
-        draws = rng.uniform(0.05, 0.55, num_circ_per_step).round(4)
+        # the campaign's J set, bit-for-bit (h31 ``get_Js``:
+        # ``np.random.seed(42); uniform(0, 0.66π, 50)`` — one batch of
+        # circuits reused across the step sweep; first ``train_per_step``
+        # of each step train). ``seed`` steers noise/twirl draws only.
+        draws = np.random.RandomState(42).uniform(
+            0.0, 0.66 * np.pi, num_circ_per_step)
+        # circuit J00 is the campaign's Clifford J=0 reference (h29's
+        # generator: index 0 = construct_…_twirled_Cliff_func(J=0); its
+        # hardware rows show the cos(s·π/2) pattern) — evolved separately
+        # below at h=0.5π
+        j0_clifford = engine == "lightcone"
+        draws[0] = 0.0
         J_train = draws[:train_per_step].tolist()
         J_test = draws[train_per_step:].tolist()
     qubits = [q for q in qubits if q < nq]
@@ -131,7 +143,9 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          scale=-1.0 if noise_scale is None else noise_scale,
                          twirls=num_twirls, seed=seed,
                          jchunk=0 if j_chunk is None else int(j_chunk),
-                         proto=2)   # v2: TREX readout correction on arms
+                         # proto 3 = campaign protocol: TREX-corrected
+                         # arms, nonClifford kick, Clifford J00 row
+                         proto=3)
     if cache_key is not None and os.path.exists(arrays_cache):
         z = np.load(arrays_cache)
         if (z["steps"] == num_steps and z["engine"] == engine
@@ -185,6 +199,21 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
 
         noisy_sw, ideal_sw = stepwise(noise_factors[0], seed, True)
         amp_sw, _ = stepwise(noise_factors[1], seed + 1, False)
+        if j0_clifford:
+            # re-evolve row 0 as the campaign's Clifford J=0 reference
+            # circuit (kick h=0.5π instead of the nonClifford h)
+            eng0 = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt,
+                                  h=0.5 * np.pi,
+                                  n_traj=max(int(num_twirls), 1),
+                                  shots=shots, noise_model=nm)
+            z0 = np.zeros(1, np.float32)
+            n0, i0 = eng0.generate_stepwise(
+                z0, noise_factors[0], qubits, seed=seed,
+                readout_correct=True)
+            a0, _ = eng0.generate_stepwise(
+                z0, noise_factors[1], qubits, seed=seed + 1,
+                want_ideal=False, readout_correct=True)
+            noisy_sw[0], amp_sw[0], ideal_sw[0] = n0[0], a0[0], i0[0]
         max_disc = 0.0
     elif engine == "pauli_prop":
         # one stepwise propagation per arm covers every depth 1..num_steps
@@ -264,18 +293,44 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     noisy_te = stack(te, "noisy")
     zne_te = stack(te, "zne")
     te_steps = np.array([r["step"] for r in te])
+
+    # TWO reference frames per arm:
+    #  * vs_zne — the PUBLISHED metric. The reference evaluates against
+    #    the ZNE values themselves (demo1 nb cell 12 passes
+    #    ``test_zne_vals`` into encode_data_v2_ecr's label slot; cell 19's
+    #    "ideal_q" IS the ZNE value): published noisy 0.0656 / mimic
+    #    0.0348 are distances-to-ZNE, because no 100Q hardware ideal
+    #    exists. "Can the cheap model mimic ZNE?" is the demo's question.
+    #  * vs ideal — the simulation-only bonus: this framework has the
+    #    EXACT values (light-cone engine), so mitigation quality is also
+    #    measured against the truth the reference could not compute.
     per_step = {}
+    per_step_vs_zne = {}
     for name, arr in (("noisy", noisy_te), ("zne", zne_te),
                       ("mimic", mimic_te)):
         per_step[name] = [float(rmse(arr[te_steps == s],
                                      ideal_te[te_steps == s]))
                           for s in range(1, num_steps + 1)]
+        if name != "zne":
+            per_step_vs_zne[name] = [float(rmse(arr[te_steps == s],
+                                                zne_te[te_steps == s]))
+                                     for s in range(1, num_steps + 1)]
+    noisy_vs_zne = float(rmse(noisy_te, zne_te))
+    mimic_vs_zne = float(rmse(mimic_te, zne_te))
     return {
+        "rmse_noisy_vs_zne": noisy_vs_zne,
+        "rmse_mimic_vs_zne": mimic_vs_zne,
+        "improvement_vs_zne": noisy_vs_zne / max(mimic_vs_zne, 1e-12),
+        "rmse_per_step_vs_zne": per_step_vs_zne,
         "rmse_noisy": float(rmse(noisy_te, ideal_te)),
         "rmse_zne": float(rmse(zne_te, ideal_te)),
         "rmse_mimic": float(rmse(mimic_te, ideal_te)),
         "rmse_per_qubit_noisy": rmse(noisy_te, ideal_te, axis=0).tolist(),
         "rmse_per_qubit_mimic": rmse(mimic_te, ideal_te, axis=0).tolist(),
+        "rmse_per_qubit_noisy_vs_zne": rmse(noisy_te, zne_te,
+                                            axis=0).tolist(),
+        "rmse_per_qubit_mimic_vs_zne": rmse(mimic_te, zne_te,
+                                            axis=0).tolist(),
         "rmse_per_step": per_step,
         "max_truncation_discard": max_disc,
         "engine": engine,

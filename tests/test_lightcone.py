@@ -30,15 +30,17 @@ def test_cone_window_clamps():
     assert cone_window(5, 8, 10) == (0, 10)     # cone wider than chain
 
 
-def test_ideal_exact_vs_pauli_prop(device):
+@pytest.mark.parametrize("h", [H, 0.66 * np.pi])
+def test_ideal_exact_vs_pauli_prop(device, h):
     """Windowed statevector vs converged Heisenberg sum: two independent
     exact formulations must agree to float32 precision at every step —
-    including windows strictly smaller than the chain (w=7 < nq=10)."""
+    including windows strictly smaller than the chain (w=7 < nq=10).
+    Covers both campaign kicks (Clifford h=0.5π and nonClifford 0.66π)."""
     steps = 3
-    pp = PauliPropagatorIsing(device, nq=NQ, steps=steps, dt=DT, h=H,
+    pp = PauliPropagatorIsing(device, nq=NQ, steps=steps, dt=DT, h=h,
                               max_terms=8192, noise=False)
     ref, _ = pp.generate_stepwise(J, qubits=QUBITS)
-    lc = LightconeIsing(device, nq=NQ, steps=steps, dt=DT, h=H, n_traj=1,
+    lc = LightconeIsing(device, nq=NQ, steps=steps, dt=DT, h=h, n_traj=1,
                         shots=None, noise=False, readout=False)
     _, ideal = lc.generate_stepwise(J, qubits=QUBITS)
     assert np.abs(ideal - ref).max() < 1e-5
