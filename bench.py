@@ -50,6 +50,31 @@ def main():
     from mlqem_tpu.parallel.datagen import IsingLabelPipeline
     from mlqem_tpu.parallel.mesh import make_mesh
 
+    # The axon backend reaches the real chip through a tunnel that can be
+    # down for hours at a stretch; first contact then HANGS (not errors).
+    # Probe device init in a bounded subprocess and fall back to CPU so
+    # the bench always emits its one JSON line (the unit records the
+    # fallback — a CPU number is a floor, not the TPU result).
+    import os
+    import subprocess
+
+    platform_note = ""
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('up')"],
+                capture_output=True, timeout=240, text=True)
+            tpu_up = probe.returncode == 0 and "up" in probe.stdout
+        except subprocess.TimeoutExpired:
+            tpu_up = False
+        if not tpu_up:
+            print("TPU backend unreachable — falling back to CPU",
+                  file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            platform_note = ", CPU fallback: TPU tunnel down"
+            args.batch = min(args.batch, 2048)  # host-core wall budget
+
     devices = jax.devices()
     n_chips = len(devices)
     print(f"devices: {devices}", file=sys.stderr)
@@ -107,7 +132,8 @@ def main():
             "density_matrix": "exact dm noise"}[args.method]
     print(json.dumps({
         "metric": f"noisy {args.nq}Q training pairs/min "
-                  f"({desc} + readout + {args.shots} shots, per chip)",
+                  f"({desc} + readout + {args.shots} shots, per chip"
+                  f"{platform_note})",
         "value": round(per_chip, 1),
         "unit": "pairs/min/chip",
         "vs_baseline": round(per_chip / target_per_chip, 3),

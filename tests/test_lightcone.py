@@ -144,6 +144,31 @@ def test_demo1_lightcone_smoke(device):
         assert 0.0 < out[k] < 1.0, (k, out[k])
 
 
+def test_demo1_campaign_j00_clifford_row(device):
+    """The campaign J draw pins circuit 0 to the Clifford J=0 reference
+    (h29's generator: index 0 = J=0 at kick h=0.5π, NOT the campaign's
+    nonClifford h=0.66π). Closed form: with J=0 the qubits are uncoupled
+    and s kicks of rx(π/2·2·dt·2)… = rx(s·π/2 per step pair) give
+    ⟨Z⟩ = cos(s·π/2) — 0 at odd steps, ±1 alternating at even steps."""
+    from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
+
+    out = demo1_zne_mimic_100q(device=device, nq=NQ, num_steps=4,
+                               num_circ_per_step=5, train_per_step=2,
+                               qubits=(1, 8), shots=None, num_twirls=2,
+                               n_estimators=10, seed=0)
+    j0 = sorted((r for r in out["rows"] if r["J"] == 0.0),
+                key=lambda r: r["step"])
+    assert len(j0) == 4
+    for r in j0:
+        want = np.cos(r["step"] * np.pi / 2.0)
+        np.testing.assert_allclose(np.asarray(r["ideal"]), want, atol=1e-5)
+    # every other row is the nonClifford campaign kick — at h=0.66π the
+    # odd steps are NOT parity zeros (the r2 protocol bug this guards)
+    others = [r for r in out["rows"] if r["J"] != 0.0 and r["step"] == 1]
+    assert max(float(np.abs(np.asarray(r["ideal"])).max())
+               for r in others) > 0.05
+
+
 def test_demo1_arrays_cache_roundtrip(tmp_path, device):
     """The engine-arm checkpoint reuses arms only on an exact protocol
     match (J draw/qubits/steps/scale/twirls/seed)."""
