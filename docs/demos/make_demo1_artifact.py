@@ -151,7 +151,8 @@ def main():
     png = args.out.rsplit(".", 1)[0] + "_per_step.png"
     figure_demo1(out["rmse_per_step_vs_zne"],
                  published={"noisy": 0.06558, "mimic": 0.03482},
-                 save_path=png)
+                 save_path=png,
+                 ylabel="RMSE vs the ZNE reference (test split)")
     png2 = args.out.rsplit(".", 1)[0] + "_per_step_vs_ideal.png"
     figure_demo1(out["rmse_per_step"], save_path=png2)
     print(f"wrote {png} and {png2}")

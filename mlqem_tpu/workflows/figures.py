@@ -144,7 +144,8 @@ def figure_paper_parity(table: Dict[str, Dict],
 
 def figure_demo1(per_step: Dict[str, Sequence[float]],
                  published: Optional[Dict[str, float]] = None,
-                 save_path: Optional[str] = None):
+                 save_path: Optional[str] = None,
+                 ylabel: str = "RMSE vs ideal (test split)"):
     """demo1's per-step RMSE curves (noisy / ZNE / RF-mimic arms).
 
     ``per_step``: {"noisy"/"zne"/"mimic": [rmse per Trotter step]} as in
@@ -165,7 +166,7 @@ def figure_demo1(per_step: Dict[str, Sequence[float]],
             ax.axhline(v, color="gray", lw=0.8, ls=":",
                        label=f"published {arm} (agg)")
     ax.set_xlabel("Trotter step")
-    ax.set_ylabel("RMSE vs ideal (test split)")
+    ax.set_ylabel(ylabel)
     ax.set_title("demo1: 100Q RF-mimics-ZNE, per-step RMSE")
     ax.legend()
     fig.tight_layout()
