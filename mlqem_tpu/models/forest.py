@@ -58,10 +58,15 @@ def _fit_tree(X: np.ndarray, y: np.ndarray, rng: np.random.Generator,
         if max_features is not None and max_features < F:
             feats = rng.choice(F, size=max_features, replace=False)
         else:
-            feats = np.arange(F)
+            # random order so exact-SSE ties resolve to a random feature
+            # (sklearn shuffles features per node the same way)
+            feats = rng.permutation(F)
         order = np.argsort(Xs[:, feats], axis=0, kind="stable")  # [m, f]
         xs_sorted = np.take_along_axis(Xs[:, feats], order, axis=0)
-        ys_sorted = ys[order]                                    # [m, f, K]
+        # float64 criterion: float32 cumsums quantize the SSE enough to
+        # flip split choices between near-tied candidates (measured: a
+        # ~30% test-RMSE inflation on the demo1 mimic task)
+        ys_sorted = ys[order].astype(np.float64)                 # [m, f, K]
         s1 = np.cumsum(ys_sorted, axis=0)                        # [m, f, K]
         s2 = np.cumsum(ys_sorted ** 2, axis=0)
         tot1 = s1[-1]                                            # [f, K]
@@ -79,10 +84,17 @@ def _fit_tree(X: np.ndarray, y: np.ndarray, rng: np.random.Generator,
             valid &= (pos >= min_samples_leaf) & \
                      (m - pos >= min_samples_leaf)
         sse = np.where(valid, sse, np.inf)
-        k = np.argmin(sse)
-        row, col = np.unravel_index(k, sse.shape)
-        if not np.isfinite(sse[row, col]):
+        smin = sse.min()
+        if not np.isfinite(smin):
             return None
+        # uniform choice among exact ties: a deterministic argmin breaks
+        # every tie toward the smallest (position, feature) — i.e. the
+        # most unbalanced split on the earliest feature — which CORRELATES
+        # the trees and measurably hurts the ensemble on data with
+        # discrete/duplicated features
+        ties = np.flatnonzero(sse <= smin + 1e-12 * max(abs(smin), 1.0))
+        k = ties[rng.integers(0, ties.size)]
+        row, col = np.unravel_index(k, sse.shape)
         f = int(feats[col])
         a = float(xs_sorted[row, col])
         b = float(xs_sorted[row + 1, col])

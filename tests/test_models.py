@@ -212,3 +212,29 @@ def test_random_forest_sklearn_parity():
     rmse_ref = float(np.sqrt(np.mean((ref.predict(Xte) - yte) ** 2)))
     # within 15% of sklearn's error on held-out data
     assert rmse_ours < rmse_ref * 1.15, (rmse_ours, rmse_ref)
+
+
+def test_random_forest_sklearn_parity_tied_features():
+    """Parity on TIE-HEAVY data (discrete duplicated features + noisy
+    labels — the demo1 mimic task's shape).  Guards the split-search
+    randomization: float64 SSE + uniform tie choice; a deterministic
+    argmin correlates the trees toward degenerate 1-sample splits and
+    measured ~30% worse than sklearn here."""
+    sklearn = pytest.importorskip("sklearn.ensemble")
+    rng = np.random.default_rng(11)
+    step = np.repeat(np.arange(1, 5), 50).astype(np.float32)
+    Jv = np.tile(rng.uniform(0, 2, 50), 4).astype(np.float32)
+    noisy = (np.cos(step * 0.4) * np.exp(-0.3 * Jv)
+             + 0.05 * rng.normal(size=200)).astype(np.float32)
+    y = (np.cos(step * 0.4) * np.exp(-0.25 * Jv)
+         + 0.03 * rng.normal(size=200)).astype(np.float32)
+    X = np.column_stack([step, Jv, noisy])
+    tr = np.concatenate([np.arange(s * 50, s * 50 + 10) for s in range(4)])
+    te = np.setdiff1d(np.arange(200), tr)
+    ours = RandomForestRegressor(n_estimators=100, random_state=0)
+    ours.fit(X[tr], y[tr])
+    rmse_ours = float(np.sqrt(np.mean((ours.predict(X[te]) - y[te]) ** 2)))
+    ref = sklearn.RandomForestRegressor(n_estimators=100, random_state=0)
+    ref.fit(X[tr], y[tr])
+    rmse_ref = float(np.sqrt(np.mean((ref.predict(X[te]) - y[te]) ** 2)))
+    assert rmse_ours < rmse_ref * 1.15, (rmse_ours, rmse_ref)
