@@ -38,17 +38,27 @@ def main():
                     help="reduced scale (smoke, NOT the artifact)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--twirls", type=int, default=5,
-                    help="twirl instances per (circuit, noise factor); "
-                         "5 = the campaign's repeat count (demo1 nb cell "
-                         "6 reshape(n, 5, 5).mean(-1)). In the campaign "
-                         "dynamics (nonClifford kick, wide J draw) the "
-                         "ZNE gap is bias-dominated, so 5 instances "
-                         "suffice — exactly as they did on hardware.")
-    ap.add_argument("--j-chunk", type=int, default=None,
+    ap.add_argument("--twirls", type=int, default=1024,
+                    help="error realizations per (circuit, point) on the "
+                         "noisy arm. The campaign's 5 twirls x 10000 "
+                         "shots sample a FRESH error realization per "
+                         "shot, so hardware-faithful statistics need "
+                         "~1024 realizations with the 50k measurement "
+                         "budget split across them (shots = 50000 / "
+                         "twirls); at a literal 5 the per-point "
+                         "trajectory noise (~0.1) buries the ZNE gap "
+                         "and the mimic cannot beat the noisy arm.")
+    ap.add_argument("--twirls-amp", type=int, default=256,
+                    help="realizations on the amplified (nf3) arm — its "
+                         "extrapolation weight is 0.5 vs the noisy arm's "
+                         "1.5, so 4x fewer realizations cost little")
+    ap.add_argument("--j-chunk", type=int, default=1,
                     help="circuits per engine jit call (bounds the "
-                         "rows x 2^21 state block under HBM; needed only "
-                         "for twirl counts >~16 at the 50-circuit scale)")
+                         "rows x 2^21 state block under HBM)")
+    ap.add_argument("--t-chunk", type=int, default=128,
+                    help="realizations per engine jit call (the state "
+                         "block is j_chunk*t_chunk x 2^21 complex64 — "
+                         "2 GB at the defaults)")
     ap.add_argument("--noise-scale", type=float, default=None,
                     help="channel-strength scale (default: the calibrated "
                          "DEMO1_CALIBRATED_SCALE at full size, 1.0 --fast)")
@@ -108,15 +118,21 @@ def main():
           "light-cone engine)...", flush=True)
     noise_scale = args.noise_scale if args.noise_scale is not None else \
         (1.0 if args.fast else DEMO1_CALIBRATED_SCALE)
-    num_twirls = args.twirls
+    num_twirls = args.twirls if not args.fast else min(args.twirls, 256)
+    num_twirls_amp = args.twirls_amp if not args.fast \
+        else min(args.twirls_amp, 64)
+    # the campaign's 50k measurement budget, split across realizations
+    shots = max(1, round(50000 / num_twirls))
     out = demo1_zne_mimic_100q(
         device=dev, nq=nq, num_steps=steps, qubits=qubits,
         num_circ_per_step=10 if args.fast else 50,
         train_per_step=2 if args.fast else 10,
-        shots=10000, num_twirls=num_twirls, noise_scale=noise_scale,
+        shots=shots, num_twirls=num_twirls,
+        num_twirls_amp=num_twirls_amp, noise_scale=noise_scale,
         arrays_cache=None if args.fast else _os.path.join(
             RESULTS, "demo1_arrays_cache.npz"),
         j_chunk=args.j_chunk if not args.fast else None,
+        t_chunk=args.t_chunk if not args.fast else None,
         seed=args.seed)
     rows = out.pop("rows")
     out["rows_count"] = len(rows)
@@ -127,8 +143,10 @@ def main():
         f"(J00 = the Clifford J=0 reference circuit), observables "
         f"Z11/Z25/Z39/Z54/Z94, {ncps} circuits/step "
         f"({'2' if args.fast else '10'} train), exact light-cone engine, "
-        f"{num_twirls} twirl instances x 10000 binomial shots per "
-        f"(step, J) point with TREX readout correction, noise from "
+        f"the campaign's 50k measurement budget as {num_twirls} error "
+        f"realizations x {shots} binomial shots per (step, J) point on "
+        f"the noisy arm ({num_twirls_amp} realizations on the amplified "
+        f"arm) with TREX readout correction, noise from "
         f"synthetic {nq}q calibration at channel scale {noise_scale} "
         f"(calibrated on the Clifford-J00 damping + the published "
         f"vs-ZNE noisy baseline 0.0656)")

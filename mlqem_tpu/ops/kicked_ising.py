@@ -25,6 +25,7 @@ This is exact for the twirled noise model (not an extra approximation).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -60,6 +61,54 @@ def wht(state: jnp.ndarray, nq: int) -> jnp.ndarray:
         state = jnp.stack([(a + b) * _INV_SQRT2, (a - b) * _INV_SQRT2],
                           axis=-2).reshape(batch + (dim,))
     return state
+
+
+def wht_mm(state: jnp.ndarray, nq: int, radix: int = 7) -> jnp.ndarray:
+    """H⊗nq over the last axis as dense Hadamard MATMULS (MXU path).
+
+    Equal to :func:`wht` but factors H⊗nq into ⌈nq/radix⌉ Kronecker
+    slabs of ≤2^radix and contracts each with a dense ±1/√d Hadamard
+    constant: ~3 tiled memory passes at nq=21 instead of the butterfly's
+    21 strided HBM passes (the light-cone engine's w=21 windows are pure
+    bandwidth there). radix=7 keeps each factor at the 128 lane width.
+    Complex states split into two float32 matmuls per slab (H is real);
+    Precision.HIGHEST keeps the f32 accumulation exact enough for deep
+    scans (bf16 MXU passes drift ~1e-2 over 10 Trotter steps).
+    """
+    parts: List[int] = []
+    rem = nq
+    while rem > 0:
+        c = min(radix, rem)
+        parts.append(c)
+        rem -= c
+    batch = state.shape[:-1]
+    dims = tuple(2 ** c for c in parts)
+
+    def real_pass(x):
+        x = x.reshape(batch + dims)
+        k = len(dims)
+        letters = "abcdefgh"[:k]
+        for i, c in enumerate(parts):
+            h = jnp.asarray(_hadamard_dense(c))
+            sub = (f"...{letters},{letters[i]}z"
+                   f"->...{letters[:i]}z{letters[i + 1:]}")
+            x = jnp.einsum(sub, x, h,
+                           precision=jax.lax.Precision.HIGHEST)
+        return x.reshape(batch + (int(np.prod(dims)),))
+
+    if jnp.iscomplexobj(state):
+        return jax.lax.complex(real_pass(jnp.real(state)),
+                               real_pass(jnp.imag(state)))
+    return real_pass(state)
+
+
+@functools.lru_cache(maxsize=8)
+def _hadamard_dense(nq: int) -> np.ndarray:
+    """Dense ±1/√2^n Hadamard [2^n, 2^n] float32 (host constant)."""
+    h = np.array([[1.0]], dtype=np.float64)
+    for _ in range(nq):
+        h = np.block([[h, h], [h, -h]])
+    return (h / np.sqrt(2.0 ** nq)).astype(np.float32)
 
 
 @dataclasses.dataclass

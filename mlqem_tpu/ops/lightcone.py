@@ -47,8 +47,14 @@ import numpy as np
 from ..device.model import DeviceModel
 from ..device.noise import NoiseModel
 from ..utils.rng import prng_key
-from .kicked_ising import wht
+from .kicked_ising import wht, wht_mm
 from .unitaries import COMPLEX_DTYPE
+
+# window width at and above which the WHT runs as dense Hadamard matmuls
+# (wht_mm: ~3 tiled passes on the MXU / BLAS) instead of w strided
+# butterfly passes — at the demo's w=21 the butterfly is pure HBM
+# bandwidth and the matmul form measures ~3x faster even on 1 CPU core
+_WHT_MM_MIN_W = 12
 
 
 def cone_window(q: int, steps: int, nq: int) -> Tuple[int, int]:
@@ -77,8 +83,20 @@ class LightconeIsing:
     One compiled program per observable window (per-window bit tables are
     embedded constants; twirled-channel tables and readout are traced), one
     statevector evolution per (window, arm).  ``shots`` is PER TRAJECTORY
-    (hardware semantics: ``n_traj`` twirl instances × ``shots`` counts
+    (hardware semantics: ``n_traj`` error realizations × ``shots`` counts
     each, averaged); ``shots=None`` returns exact per-trajectory values.
+
+    ``t_chunk`` bounds the trajectories resident in one device call (the
+    state block is ``[B·t_chunk, 2^w]`` complex64 — 2 GB at t_chunk=128,
+    w=21): ``n_traj`` must divide into equal chunks, which run
+    sequentially with independent noise keys and average exactly.  This
+    is what makes HARDWARE-FAITHFUL realization counts affordable: on
+    hardware every one of the campaign's 5×10000 shots samples a fresh
+    error realization, so a faithful simulation needs n_traj in the
+    hundreds-to-thousands (with ``shots`` split accordingly), not the 5
+    twirl-instance count — per-trajectory ⟨Z⟩ spread is 0.15–0.67 across
+    the demo's steps, so at n_traj=5 the per-point sampling noise (~0.1)
+    drowns the ZNE gap the mimic model is supposed to learn.
     """
 
     device: DeviceModel
@@ -91,11 +109,15 @@ class LightconeIsing:
     readout: bool = True
     noise_model: Optional[NoiseModel] = None
     noise: bool = True
+    t_chunk: Optional[int] = None
 
     def __post_init__(self):
         if min(2 * self.steps + 1, self.nq) > 32:
             raise ValueError("light-cone window exceeds 32 qubits — "
                              "truncate steps or use sharded engines")
+        if self.t_chunk is not None and self.n_traj % self.t_chunk:
+            raise ValueError("n_traj must split into equal t_chunk blocks "
+                             "(exact chunk-mean averaging)")
         nm = self.noise_model
         if nm is None and self.noise:
             nm = NoiseModel.from_device(self.device)
@@ -132,7 +154,8 @@ class LightconeIsing:
     # -- the per-window jitted program --------------------------------------
     def _build(self, tw: Dict):
         w, obs, bonds = tw["w"], tw["obs"], tw["bonds"]
-        nb, S, T = len(bonds), self.steps, self.n_traj
+        nb, S = len(bonds), self.steps
+        T = self.t_chunk if self.t_chunk is not None else self.n_traj
         theta_h = 2.0 * self.h * self.dt
         shots = self.shots
 
@@ -202,6 +225,7 @@ class LightconeIsing:
             """
             dim = 2 ** w
             BT = theta_j_bt.shape[0]
+            wht_fn = wht_mm if w >= _WHT_MM_MIN_W else wht
             bit_pm, bond_par = bit_tables(dim)
             mz = -bit_pm[:, obs]                       # ⟨Z⟩ weights [dim]
             state = jnp.zeros((BT, dim), COMPLEX_DTYPE).at[:, 0].set(1.0)
@@ -214,14 +238,14 @@ class LightconeIsing:
                 xs = (kick_s, bond_s)
 
             def one_step(state, signs):
-                state = wht(state, w)
+                state = wht_fn(state, w)
                 if uniform:
                     expo = jnp.broadcast_to(kick_expo[None, :], (BT, dim))
                 else:
                     expo = (theta_h / 2.0) * (signs[0] @ bit_pm.T)
                 state = state * jnp.exp(
                     1j * expo.astype(jnp.float32)).astype(state.dtype)
-                state = wht(state, w)
+                state = wht_fn(state, w)
                 if uniform:
                     expo2 = -(theta_j_bt[:, None] / 2.0) * bond_unit[None, :]
                 else:
@@ -317,14 +341,24 @@ class LightconeIsing:
                     p.astype(np.float64), ns) for p in probs]
                 ).astype(np.float32)
             a, b = readout_affine(tw["confusion"])
-            args = (theta_j, jnp.asarray(probs), jnp.float32(a),
-                    jnp.float32(b), prng_key(seed * 7919 + q * 131 + ns))
-            if want_ideal:
-                n, i = fns["full"](*args)
-                ideal[:, :, qi] = np.asarray(i)
-            else:
-                n = fns["noisy"](*args)
-            noisy[:, :, qi] = np.asarray(n)
+            base_key = prng_key(seed * 7919 + q * 131 + ns)
+            n_chunks = (self.n_traj // self.t_chunk
+                        if self.t_chunk is not None else 1)
+            probs_j = jnp.asarray(probs)
+            acc = None
+            for tc in range(n_chunks):
+                key = base_key if n_chunks == 1 else \
+                    jax.random.fold_in(base_key, tc)
+                args = (theta_j, probs_j, jnp.float32(a), jnp.float32(b),
+                        key)
+                if want_ideal and tc == 0:
+                    n, i = fns["full"](*args)
+                    ideal[:, :, qi] = np.asarray(i)
+                else:
+                    n = fns["noisy"](*args)
+                n = np.asarray(n)
+                acc = n if acc is None else acc + n
+            noisy[:, :, qi] = acc / n_chunks
             if readout_correct and (a, b) != (1.0, 0.0):
                 noisy[:, :, qi] = (noisy[:, :, qi] - b) / a
         return noisy, ideal

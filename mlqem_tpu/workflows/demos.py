@@ -70,10 +70,12 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                          n_estimators: int = 100,
                          shots: Optional[int] = 10000,
                          num_twirls: int = 5,
+                         num_twirls_amp: Optional[int] = None,
                          engine: str = "lightcone",
                          noise_scale: Optional[float] = None,
                          arrays_cache: Optional[str] = None,
                          j_chunk: Optional[int] = None,
+                         t_chunk: Optional[int] = None,
                          seed: int = 0) -> Dict:
     """100Q ZNE-mimicry, demo1 pipeline shape — at the reference's FULL
     depth (``demo1_rf_mimic_zne_100q_twirl.ipynb`` spans Trotter steps
@@ -83,13 +85,27 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     random-J circuits per step (nb cell 10: ``num_circ_per_step = 50``),
     the first ``train_per_step`` of each step train the per-qubit
     RandomForest(``n_estimators``) mimics (``k = train_test_split = 10``)
-    on ZNE labels from ``num_twirls`` twirl instances × ``shots`` counts
-    (cell 6: ``reshape(n, 5, 5).mean(-1)`` — 5 repeats), the rest
-    evaluate. The RF's value is exactly that it SMOOTHS the ZNE labels'
-    twirl/shot sampling noise while the noisy baseline keeps its own —
-    mitigation quality is ratio-of-RMSE vs ideal on the test split.
-    ``J_train``/``J_test`` override the random draw with a fixed grid
-    (legacy shape, also used by the smoke tests).
+    on ZNE labels, the rest evaluate.  ``J_train``/``J_test`` override
+    the random draw with a fixed grid (legacy shape, also used by the
+    smoke tests).
+
+    **Measurement statistics** (``num_twirls`` × ``shots``): on hardware
+    every shot of the campaign's 5 twirl instances × 10000 shots samples
+    a FRESH error realization, so the per-point estimator noise is
+    σ ≈ √((1−z²)/50000) ≈ 0.005.  In a trajectory simulation the error
+    realization count is ``num_twirls`` (= the engine's ``n_traj``), and
+    per-realization ⟨Z⟩ spread is 0.15–0.67 at the campaign config — at
+    the literal ``num_twirls=5`` the per-point noise (~0.1) buries the
+    noisy↔ZNE gap and the mimic's ceiling is ZNE's own sampling noise
+    (measured: improvement collapses to ~1.0×).  Faithful statistics
+    therefore take ``num_twirls`` ≈ 512–1024 error realizations with
+    ``shots`` = 50000/num_twirls counts each (same 50k total
+    measurements); ``num_twirls_amp`` (default: ``num_twirls``) sets the
+    amplified arm's realization count separately — its weight in the
+    linear extrapolation is 0.5 vs the noisy arm's 1.5, so a 4× smaller
+    count costs little accuracy at half the compute.  ``t_chunk`` bounds
+    trajectories per device call (HBM; see
+    :class:`~..ops.lightcone.LightconeIsing`).
 
     ``engine="lightcone"`` (default) produces every arm with the EXACT
     light-cone engine (:class:`~..ops.lightcone.LightconeIsing`): the ideal
@@ -145,16 +161,25 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
 
     import os
 
+    num_twirls_amp = int(num_twirls_amp) if num_twirls_amp is not None \
+        else int(num_twirls)
+    # same 50k-total measurement budget on the amplified arm
+    shots_amp = None if shots is None else max(
+        1, round(int(shots) * int(num_twirls) / num_twirls_amp))
     cache_key = None
     if arrays_cache is not None:
         cache_key = dict(J=J_arr, qubits=np.asarray(qubits, np.int32),
                          steps=num_steps, engine=engine,
                          scale=-1.0 if noise_scale is None else noise_scale,
-                         twirls=num_twirls, seed=seed,
+                         twirls=num_twirls, tamp=num_twirls_amp,
+                         shots=0 if shots is None else int(shots),
+                         seed=seed,
                          jchunk=0 if j_chunk is None else int(j_chunk),
-                         # proto 3 = campaign protocol: TREX-corrected
-                         # arms, nonClifford kick, Clifford J00 row
-                         proto=3)
+                         # proto 4 = campaign protocol (TREX-corrected
+                         # arms, nonClifford kick, Clifford J00 row) with
+                         # hardware-faithful realization counts (per-arm
+                         # num_twirls, shots split across realizations)
+                         proto=4)
     if cache_key is not None and os.path.exists(arrays_cache):
         z = np.load(arrays_cache)
         if (z["steps"] == num_steps and z["engine"] == engine
@@ -162,6 +187,9 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                 and np.array_equal(z["qubits"], cache_key["qubits"])
                 and float(z["scale"]) == float(cache_key["scale"])
                 and int(z["twirls"]) == num_twirls
+                and ("tamp" in z and int(z["tamp"]) == num_twirls_amp)
+                and ("shots" in z
+                     and int(z["shots"]) == cache_key["shots"])
                 and int(z["seed"]) == seed
                 and ("proto" in z and int(z["proto"]) == cache_key["proto"])
                 and ("jchunk" in z
@@ -180,16 +208,24 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     elif engine == "lightcone":
         from ..ops.lightcone import LightconeIsing
 
-        eng = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt, h=h,
-                             n_traj=max(int(num_twirls), 1), shots=shots,
-                             noise_model=nm)
+        def make_eng(T, shots_, h_):
+            tc = None if t_chunk is None else min(int(t_chunk), int(T))
+            return LightconeIsing(device, nq=nq, steps=num_steps, dt=dt,
+                                  h=h_, n_traj=max(int(T), 1),
+                                  shots=shots_, noise_model=nm, t_chunk=tc)
+
+        eng_n = make_eng(num_twirls, shots, h)
+        eng_a = eng_n if (num_twirls_amp == num_twirls
+                          and shots_amp == shots) \
+            else make_eng(num_twirls_amp, shots_amp, h)
 
         # j_chunk bounds one jit call's state block (rows = chunk·T over a
         # 2^w window): at the 50-circuit protocol with high twirl counts
         # one unchunked call exceeds HBM. Chunks use stride-2 seed offsets
         # so trajectory draws stay independent across chunks (the amp arm
-        # owns the odd parity).
-        def stepwise(nf, seed_, want_ideal):
+        # owns the odd parity; realization chunks fold in on top inside
+        # the engine).
+        def stepwise(eng_, nf, seed_, want_ideal):
             step_ = j_chunk if j_chunk else len(J_arr)
             outs_n, outs_i = [], []
             for ci, s in enumerate(range(0, len(J_arr), step_)):
@@ -198,7 +234,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                 # campaign, h31 Options): ZNE folds only the CX channels,
                 # so the readout affine must be calibrated out or its bias
                 # survives the extrapolation
-                n_, i_ = eng.generate_stepwise(
+                n_, i_ = eng_.generate_stepwise(
                     J_arr[s:s + step_], nf, qubits, seed=seed_ + 2 * ci,
                     want_ideal=want_ideal, readout_correct=True)
                 outs_n.append(n_)
@@ -206,20 +242,18 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
             return (np.concatenate(outs_n),
                     np.concatenate(outs_i) if want_ideal else None)
 
-        noisy_sw, ideal_sw = stepwise(noise_factors[0], seed, True)
-        amp_sw, _ = stepwise(noise_factors[1], seed + 1, False)
+        noisy_sw, ideal_sw = stepwise(eng_n, noise_factors[0], seed, True)
+        amp_sw, _ = stepwise(eng_a, noise_factors[1], seed + 1, False)
         if j0_clifford:
             # re-evolve row 0 as the campaign's Clifford J=0 reference
             # circuit (kick h=0.5π instead of the nonClifford h)
-            eng0 = LightconeIsing(device, nq=nq, steps=num_steps, dt=dt,
-                                  h=0.5 * np.pi,
-                                  n_traj=max(int(num_twirls), 1),
-                                  shots=shots, noise_model=nm)
+            eng0_n = make_eng(num_twirls, shots, 0.5 * np.pi)
+            eng0_a = make_eng(num_twirls_amp, shots_amp, 0.5 * np.pi)
             z0 = np.zeros(1, np.float32)
-            n0, i0 = eng0.generate_stepwise(
+            n0, i0 = eng0_n.generate_stepwise(
                 z0, noise_factors[0], qubits, seed=seed,
                 readout_correct=True)
-            a0, _ = eng0.generate_stepwise(
+            a0, _ = eng0_a.generate_stepwise(
                 z0, noise_factors[1], qubits, seed=seed + 1,
                 want_ideal=False, readout_correct=True)
             noisy_sw[0], amp_sw[0], ideal_sw[0] = n0[0], a0[0], i0[0]

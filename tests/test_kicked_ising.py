@@ -105,3 +105,20 @@ def test_zne_sweep_wide():
                           J_values=np.linspace(0.1, 0.5, 4),
                           n_traj=256, shots=None, seed=0)
     assert out["rmse_zne"] < out["rmse_noisy"]
+
+
+def test_wht_mm_matches_butterfly():
+    """The radix-128 matmul WHT (MXU fast path for wide light-cone
+    windows) is the same transform as the butterfly at every width and
+    factor split, complex and real."""
+    from mlqem_tpu.ops.kicked_ising import wht_mm
+
+    rng = np.random.default_rng(3)
+    for nq in (3, 7, 9, 14):
+        x = (rng.standard_normal((2, 2 ** nq))
+             + 1j * rng.standard_normal((2, 2 ** nq))).astype(np.complex64)
+        np.testing.assert_allclose(np.asarray(wht_mm(x, nq)),
+                                   np.asarray(wht(x, nq)),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(wht_mm(x.real, nq)),
+                                   np.asarray(wht(x.real, nq)), atol=2e-5)

@@ -184,3 +184,24 @@ def test_demo1_arrays_cache_roundtrip(tmp_path, device):
         assert o1[k] == o2[k]
     o3 = demo1_zne_mimic_100q(**{**kw, "seed": 1})   # miss (new J draw)
     assert o3["rmse_noisy"] != o1["rmse_noisy"]
+
+
+def test_t_chunk_exact_mean_and_statistics(device):
+    """Realization chunking: equal t_chunk blocks with independent keys
+    average exactly — the chunked estimator is deterministic, converges
+    to the exact twirled channel like the unchunked one, and rejects
+    non-dividing chunk sizes.  (This is the knob that makes hardware-
+    faithful realization counts — n_traj ≈ 1024 at w=21 — fit HBM.)"""
+    steps = 3
+    pp = PauliPropagatorIsing(device, nq=NQ, steps=steps, dt=DT, h=H,
+                              max_terms=8192, readout=False)
+    ref, _ = pp.generate_stepwise(J, noise_scale=1, qubits=QUBITS)
+    lc = LightconeIsing(device, nq=NQ, steps=steps, dt=DT, h=H,
+                        n_traj=3072, t_chunk=1024, shots=None,
+                        readout=False)
+    got, _ = lc.generate_stepwise(J, noise_scale=1, qubits=QUBITS, seed=1)
+    got2, _ = lc.generate_stepwise(J, noise_scale=1, qubits=QUBITS, seed=1)
+    np.testing.assert_array_equal(got, got2)          # deterministic
+    assert np.abs(got - ref).max() < 0.04
+    with pytest.raises(ValueError):
+        LightconeIsing(device, nq=NQ, steps=steps, n_traj=10, t_chunk=4)
