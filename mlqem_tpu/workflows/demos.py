@@ -219,16 +219,39 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                           and shots_amp == shots) \
             else make_eng(num_twirls_amp, shots_amp, h)
 
+        # partial-chunk checkpoints: engine arms are hours of device time
+        # at the faithful realization counts and the TPU tunnel can drop
+        # mid-run — persist each (arm, j-chunk) output so a restart
+        # resumes instead of recomputing. Keyed by the protocol hash so a
+        # changed config never reuses stale parts.
+        parts_dir = None
+        if cache_key is not None:
+            import hashlib
+
+            blob = repr(sorted(
+                (k, v.tobytes() if isinstance(v, np.ndarray) else v)
+                for k, v in cache_key.items())).encode()
+            parts_dir = arrays_cache + ".parts-" \
+                + hashlib.sha1(blob).hexdigest()[:12]
+            os.makedirs(parts_dir, exist_ok=True)
+
         # j_chunk bounds one jit call's state block (rows = chunk·T over a
         # 2^w window): at the 50-circuit protocol with high twirl counts
         # one unchunked call exceeds HBM. Chunks use stride-2 seed offsets
         # so trajectory draws stay independent across chunks (the amp arm
         # owns the odd parity; realization chunks fold in on top inside
         # the engine).
-        def stepwise(eng_, nf, seed_, want_ideal):
+        def stepwise(eng_, nf, seed_, want_ideal, arm):
             step_ = j_chunk if j_chunk else len(J_arr)
             outs_n, outs_i = [], []
             for ci, s in enumerate(range(0, len(J_arr), step_)):
+                part = None if parts_dir is None else os.path.join(
+                    parts_dir, f"{arm}.{ci}.npz")
+                if part is not None and os.path.exists(part):
+                    pz = np.load(part)
+                    outs_n.append(pz["n"])
+                    outs_i.append(pz["i"] if "i" in pz.files else None)
+                    continue
                 # readout_correct = the runtime's TREX mitigation
                 # (resilience>=1, on for every arm of the reference
                 # campaign, h31 Options): ZNE folds only the CX channels,
@@ -239,23 +262,37 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                     want_ideal=want_ideal, readout_correct=True)
                 outs_n.append(n_)
                 outs_i.append(i_)
+                if part is not None:
+                    np.savez(part, n=n_, **({} if i_ is None else
+                                            {"i": i_}))
             return (np.concatenate(outs_n),
-                    np.concatenate(outs_i) if want_ideal else None)
+                    np.concatenate([o for o in outs_i])
+                    if want_ideal else None)
 
-        noisy_sw, ideal_sw = stepwise(eng_n, noise_factors[0], seed, True)
-        amp_sw, _ = stepwise(eng_a, noise_factors[1], seed + 1, False)
+        noisy_sw, ideal_sw = stepwise(eng_n, noise_factors[0], seed, True,
+                                      "nf_lo")
+        amp_sw, _ = stepwise(eng_a, noise_factors[1], seed + 1, False,
+                             "nf_hi")
         if j0_clifford:
             # re-evolve row 0 as the campaign's Clifford J=0 reference
             # circuit (kick h=0.5π instead of the nonClifford h)
-            eng0_n = make_eng(num_twirls, shots, 0.5 * np.pi)
-            eng0_a = make_eng(num_twirls_amp, shots_amp, 0.5 * np.pi)
-            z0 = np.zeros(1, np.float32)
-            n0, i0 = eng0_n.generate_stepwise(
-                z0, noise_factors[0], qubits, seed=seed,
-                readout_correct=True)
-            a0, _ = eng0_a.generate_stepwise(
-                z0, noise_factors[1], qubits, seed=seed + 1,
-                want_ideal=False, readout_correct=True)
+            j00_part = None if parts_dir is None else os.path.join(
+                parts_dir, "j00.npz")
+            if j00_part is not None and os.path.exists(j00_part):
+                pz = np.load(j00_part)
+                n0, a0, i0 = pz["n"], pz["a"], pz["i"]
+            else:
+                eng0_n = make_eng(num_twirls, shots, 0.5 * np.pi)
+                eng0_a = make_eng(num_twirls_amp, shots_amp, 0.5 * np.pi)
+                z0 = np.zeros(1, np.float32)
+                n0, i0 = eng0_n.generate_stepwise(
+                    z0, noise_factors[0], qubits, seed=seed,
+                    readout_correct=True)
+                a0, _ = eng0_a.generate_stepwise(
+                    z0, noise_factors[1], qubits, seed=seed + 1,
+                    want_ideal=False, readout_correct=True)
+                if j00_part is not None:
+                    np.savez(j00_part, n=n0, a=a0, i=i0)
             noisy_sw[0], amp_sw[0], ideal_sw[0] = n0[0], a0[0], i0[0]
         max_disc = 0.0
     elif engine == "pauli_prop":

@@ -205,3 +205,35 @@ def test_t_chunk_exact_mean_and_statistics(device):
     assert np.abs(got - ref).max() < 0.04
     with pytest.raises(ValueError):
         LightconeIsing(device, nq=NQ, steps=steps, n_traj=10, t_chunk=4)
+
+
+def test_demo1_partial_chunk_resume(tmp_path, device):
+    """Interrupted engine-arm runs resume from per-(arm, j-chunk)
+    checkpoints: after deleting the aggregate cache, a rerun rebuilds
+    the identical result from the parts with ZERO engine evolutions."""
+    import mlqem_tpu.workflows.demos as demos
+    from mlqem_tpu.ops.lightcone import LightconeIsing
+
+    cache = str(tmp_path / "arms.npz")
+    kw = dict(device=device, nq=NQ, num_steps=2, qubits=(0, NQ - 1),
+              num_circ_per_step=6, train_per_step=2, shots=500,
+              num_twirls=8, num_twirls_amp=4, t_chunk=4, j_chunk=2,
+              noise_scale=0.5, arrays_cache=cache, seed=0)
+    o1 = demos.demo1_zne_mimic_100q(**kw)
+    import os
+    os.remove(cache)
+    calls = []
+    orig = LightconeIsing.generate_stepwise
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    LightconeIsing.generate_stepwise = counting
+    try:
+        o2 = demos.demo1_zne_mimic_100q(**kw)
+    finally:
+        LightconeIsing.generate_stepwise = orig
+    assert not calls, f"{len(calls)} engine calls despite parts"
+    for k in ("rmse_noisy", "rmse_zne", "rmse_mimic"):
+        assert o1[k] == o2[k]
