@@ -1,12 +1,18 @@
-"""Demo 1 — RF mimics ZNE at 100 qubits (fully simulated).
+"""Demo 1 — RF mimics ZNE at 100 qubits (fully simulated, smoke scale).
 
 Reproduction of the reference's flagship demo
 (``demo1_rf_mimic_zne_100q_twirl.ipynb``) at its FULL depth — Trotter
 steps 1..10 — with the 100Q noisy + noise-amplified expectation values
-produced by the exact light-cone engine (hardware-protocol sampling:
-5 twirl instances × 10000 binomial shots) instead of IBM hardware.
-Prints the per-qubit and aggregate RMSE table (reference hardware
-numbers: noisy 0.0656 → mimic 0.0348, ~1.9x).
+produced by the exact light-cone engine instead of IBM hardware.
+
+This script runs the CPU-affordable SMOKE statistics (5 error
+realizations × 10000 shots): enough to see the per-step damping and the
+pipeline end-to-end, but the per-point trajectory noise (~0.1) is far
+above hardware's per-shot-realization σ≈0.005, so the mimic cannot reach
+the published vs-ZNE numbers here.  The shipped artifact
+(``make_demo1_artifact.py``, TPU) runs the hardware-faithful statistics
+— the 50k measurement budget as 1024 realizations × 49 shots — where the
+published comparison (noisy 0.0656 → mimic 0.0348, ~1.9×) applies.
 
 Run: python docs/demos/demo1_rf_mimic_zne_100q.py   (~10-20 min on CPU)
 """
