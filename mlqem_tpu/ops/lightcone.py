@@ -345,19 +345,26 @@ class LightconeIsing:
             n_chunks = (self.n_traj // self.t_chunk
                         if self.t_chunk is not None else 1)
             probs_j = jnp.asarray(probs)
-            acc = None
+            outs = []
+            i_dev = None
             for tc in range(n_chunks):
                 key = base_key if n_chunks == 1 else \
                     jax.random.fold_in(base_key, tc)
                 args = (theta_j, probs_j, jnp.float32(a), jnp.float32(b),
                         key)
+                # dispatch every chunk before syncing any (the [B, S]
+                # outputs are tiny; the big state frees per call) — one
+                # host round-trip per window instead of per chunk
                 if want_ideal and tc == 0:
-                    n, i = fns["full"](*args)
-                    ideal[:, :, qi] = np.asarray(i)
+                    n, i_dev = fns["full"](*args)
                 else:
                     n = fns["noisy"](*args)
-                n = np.asarray(n)
-                acc = n if acc is None else acc + n
+                outs.append(n)
+            if i_dev is not None:
+                ideal[:, :, qi] = np.asarray(i_dev)
+            acc = np.asarray(outs[0]).astype(np.float64)
+            for n in outs[1:]:
+                acc += np.asarray(n)
             noisy[:, :, qi] = acc / n_chunks
             if readout_correct and (a, b) != (1.0, 0.0):
                 noisy[:, :, qi] = (noisy[:, :, qi] - b) / a
