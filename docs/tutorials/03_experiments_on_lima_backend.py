@@ -32,12 +32,12 @@ from mlqem_tpu.workflows.mitigate import (model_comparison,
 
 FAST = os.environ.get("MLQEM_TUT_FAST") == "1"
 dev = get_device("fake_lima")
-ds = ising_dataset(dev, num_circuits=40 if FAST else 80, shots=10000,
+ds = ising_dataset(dev, num_circuits=24 if FAST else 80, shots=10000,
                    seed=0)
 
 # model zoo comparison (h10/h12/h15/h17/h34 shape, all four arms)
-table = model_comparison(ds, dev, seed=0, mlp_epochs=40 if FAST else 80,
-                         gnn_epochs=60 if FAST else 400)
+table = model_comparison(ds, dev, seed=0, mlp_epochs=30 if FAST else 80,
+                         gnn_epochs=30 if FAST else 400)
 for name, row in table.items():
     print(f"{name:14s} rmse: noisy {row['rmse_noisy']:.4f} -> "
           f"mitigated {row['rmse_mitigated']:.4f}")

@@ -20,6 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: several heavy tests (GNN training,
+# 16q statevector, frame-engine parity) are compile-dominated on CPU, and
+# their programs are identical run-to-run. A warm cache cuts repeat suite
+# runs substantially; a cold run only pays the (small) write overhead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mlqem_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

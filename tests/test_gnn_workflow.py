@@ -11,14 +11,17 @@ DEV = get_device("fake_lima")
 
 
 def test_gnn_mbl_beats_noisy():
-    out = train_gnn_mbl(DEV, num_circuits=350, num_epochs=120,
+    # 250 circuits x 80 epochs: mit=0.0548 vs noisy=0.0604 (measured,
+    # deterministic seed) — the smallest size that still clears the band
+    # with margin; 350x120 costs ~2.5x the CPU for the same assertions.
+    out = train_gnn_mbl(DEV, num_circuits=250, num_epochs=80,
                         dropout=0.1, seed=0)
     assert out["rmse_mitigated"] < out["rmse_noisy"], out
     assert min(out["history"]["val_loss"]) < out["history"]["val_loss"][0]
 
 
 def test_gnn_random_circuit_pipeline_runs():
-    out = train_gnn_mitigation(DEV, num_entries=60, num_epochs=10, seed=0)
+    out = train_gnn_mitigation(DEV, num_entries=40, num_epochs=10, seed=0)
     assert np.isfinite(out["rmse_mitigated"])
     assert out["pad_nodes"] > 0
 

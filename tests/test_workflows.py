@@ -204,12 +204,28 @@ def test_scalability_sweep():
     assert all(r["circuits_per_sec"] > 0 for r in rows)
 
 
+def test_single_ising_parity_smoke():
+    """Fast live run of the parity pipeline at the CALIBRATED noise scale:
+    end-to-end coverage of single_ising_parity in the default suite. The
+    tight published-family bands live on the shipped artifact
+    (test_paper_parity_schema — regenerating it with a regressed arm fails
+    there) and on the nightly full-scale run below. ZNE arms are covered
+    live by test_zne_twirled_coherent, so this run skips them."""
+    from mlqem_tpu.workflows.paper_parity import single_ising_parity
+
+    out = single_ising_parity("incoherent", num_train=40, max_steps=10,
+                              num_test_steps=10, mlp_epochs=20,
+                              gnn_epochs=20, run_zne=False, seed=0)
+    assert out["improvement_ours"]["random_forest"] > 1.5
+    assert out["ours"]["random_forest"] < out["ours"]["noisy"]
+    assert np.isfinite(out["ours"]["gnn"])
+
+
+@pytest.mark.nightly
 def test_single_ising_parity_improvements():
-    """Live pipeline run of the parity protocol at the CALIBRATED noise
-    scale (reduced size; the tight published-family bands live on the
-    shipped artifact in test_paper_parity_schema — regenerating it with a
-    regressed arm fails there). ZNE arms are covered live by
-    test_zne_twirled_coherent, so this run skips them."""
+    """Full-scale live parity run with published-family bands (nightly:
+    several CPU-minutes; the default suite covers the same path via
+    test_single_ising_parity_smoke)."""
     from mlqem_tpu.workflows.paper_parity import single_ising_parity
 
     # gnn_epochs: 150 reaches improvement ~1.9 at this scale (measured;
