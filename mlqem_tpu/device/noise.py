@@ -198,8 +198,8 @@ def add_coherent_cx_noise(device: DeviceModel,
                 device.t1(a), device.t2(a), props.gate_length * scale)
             relax1 = thermal_relaxation_channel(
                 device.t1(b), device.t2(b), props.gate_length * scale)
-            dep = depolarizing_channel(min(props.gate_error * scale, 0.75),
-                                       2)
+            dep = depolarizing_channel(
+                min(props.gate_error * scale, 1.0 - 4.0 ** -2), 2)
             extra = dep.compose(relax0.expand_to_2q(0)).compose(
                 relax1.expand_to_2q(1))
             chan = extra if chan is None else chan.compose(extra)

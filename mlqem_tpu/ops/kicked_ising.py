@@ -81,6 +81,10 @@ def wht_mm(state: jnp.ndarray, nq: int, radix: int = 7) -> jnp.ndarray:
         c = min(radix, rem)
         parts.append(c)
         rem -= c
+    if len(parts) > 8:   # einsum letters below cover ≤8 slabs
+        raise ValueError(f"wht_mm supports nq <= {8 * radix} at "
+                         f"radix={radix} (got nq={nq}); raise radix or "
+                         "use the butterfly wht()")
     batch = state.shape[:-1]
     dims = tuple(2 ** c for c in parts)
 

@@ -329,6 +329,11 @@ class LightconeIsing:
         ideal = np.empty((B, self.steps, len(qubits)), np.float32) \
             if want_ideal else None
         ns = int(round(noise_scale))
+        if abs(noise_scale - ns) > 1e-9:
+            raise ValueError(
+                f"noise_scale={noise_scale} — channel self-composition "
+                "(local folding) only amplifies by integer factors; use "
+                "integer ZNE noise factors with this engine")
         for qi, q in enumerate(qubits):
             tw = self._window_tables(q)
             key = (tw["w"], tw["obs"], tuple(tw["bonds"]), B)

@@ -145,7 +145,7 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         # generator: index 0 = construct_…_twirled_Cliff_func(J=0); its
         # hardware rows show the cos(s·π/2) pattern) — evolved separately
         # below at h=0.5π
-        j0_clifford = engine == "lightcone"
+        j0_clifford = True
         draws[0] = 0.0
         J_train = draws[:train_per_step].tolist()
         J_test = draws[train_per_step:].tolist()
@@ -170,6 +170,9 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
     if arrays_cache is not None:
         cache_key = dict(J=J_arr, qubits=np.asarray(qubits, np.int32),
                          steps=num_steps, engine=engine,
+                         # physical identity: a different kick/dt/width is a
+                         # different experiment and must never reuse parts
+                         h=float(h), dt=float(dt), nq=int(nq),
                          scale=-1.0 if noise_scale is None else noise_scale,
                          twirls=num_twirls, tamp=num_twirls_amp,
                          shots=0 if shots is None else int(shots),
@@ -185,6 +188,8 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
         if (z["steps"] == num_steps and z["engine"] == engine
                 and np.array_equal(z["J"], J_arr)
                 and np.array_equal(z["qubits"], cache_key["qubits"])
+                and all(k in z and float(z[k]) == float(cache_key[k])
+                        for k in ("h", "dt", "nq"))
                 and float(z["scale"]) == float(cache_key["scale"])
                 and int(z["twirls"]) == num_twirls
                 and ("tamp" in z and int(z["tamp"]) == num_twirls_amp)
@@ -309,6 +314,22 @@ def demo1_zne_mimic_100q(device: Optional[DeviceModel] = None,
                                          noise=False)
         ideal_sw = eng_ideal.generate_stepwise(J_arr, qubits=qubits)[0]
         max_disc = max(float(err1.max()), float(err3.max()))
+        if j0_clifford:
+            # row 0 is the campaign's Clifford J=0 reference circuit
+            # (kick h=0.5π) on this path too — same convention as the
+            # lightcone branch above
+            z0 = np.zeros(1, np.float32)
+            eng0 = PauliPropagatorIsing(device, nq=nq, steps=num_steps,
+                                        dt=dt, h=0.5 * np.pi,
+                                        max_terms=max_terms, noise_model=nm)
+            n0, e0a = eng0.generate_stepwise(z0, noise_factors[0], qubits)
+            a0, e0b = eng0.generate_stepwise(z0, noise_factors[1], qubits)
+            eng0_i = PauliPropagatorIsing(device, nq=nq, steps=num_steps,
+                                          dt=dt, h=0.5 * np.pi,
+                                          max_terms=max_terms, noise=False)
+            i0 = eng0_i.generate_stepwise(z0, qubits=qubits)[0]
+            noisy_sw[0], amp_sw[0], ideal_sw[0] = n0[0], a0[0], i0[0]
+            max_disc = max(max_disc, float(e0a.max()), float(e0b.max()))
     else:
         raise ValueError(f"unknown engine {engine!r} "
                          "(lightcone | pauli_prop)")

@@ -122,3 +122,12 @@ def test_wht_mm_matches_butterfly():
                                    atol=2e-5)
         np.testing.assert_allclose(np.asarray(wht_mm(x.real, nq)),
                                    np.asarray(wht(x.real, nq)), atol=2e-5)
+
+
+def test_wht_mm_width_guard():
+    """Widths beyond the einsum-letter budget raise a clear error instead
+    of a malformed subscript failure."""
+    from mlqem_tpu.ops.kicked_ising import wht_mm
+
+    with pytest.raises(ValueError, match="wht_mm supports"):
+        wht_mm(np.zeros((1, 2)), 57)

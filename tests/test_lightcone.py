@@ -61,6 +61,14 @@ def test_noisy_trajectories_match_exact_channel(device):
         assert np.abs(got - ref).max() < 0.04, nf
 
 
+def test_noninteger_noise_factor_rejected(device):
+    """Channel self-composition only amplifies by integers — a fractional
+    ZNE factor must raise, not silently round to a different physics."""
+    lc = LightconeIsing(device, nq=NQ, steps=2, n_traj=2, shots=None)
+    with pytest.raises(ValueError, match="integer"):
+        lc.generate_stepwise(J, noise_scale=1.5, qubits=(0,))
+
+
 def test_readout_affine_closed_form(device):
     """With channels disabled and only readout confusion, the reported
     value must be exactly a·z + b per the confusion marginal."""
@@ -164,6 +172,28 @@ def test_demo1_campaign_j00_clifford_row(device):
         np.testing.assert_allclose(np.asarray(r["ideal"]), want, atol=1e-5)
     # every other row is the nonClifford campaign kick — at h=0.66π the
     # odd steps are NOT parity zeros (the r2 protocol bug this guards)
+    others = [r for r in out["rows"] if r["J"] != 0.0 and r["step"] == 1]
+    assert max(float(np.abs(np.asarray(r["ideal"])).max())
+               for r in others) > 0.05
+
+
+def test_demo1_campaign_j00_clifford_row_pauli_prop(device):
+    """The J00 Clifford-reference convention holds on the pauli_prop
+    engine too (it previously only applied to the lightcone default):
+    row 0 evolves at the Clifford kick h=0.5π, ideal ⟨Z⟩ = cos(s·π/2)."""
+    from mlqem_tpu.workflows.demos import demo1_zne_mimic_100q
+
+    out = demo1_zne_mimic_100q(device=device, nq=NQ, num_steps=4,
+                               num_circ_per_step=5, train_per_step=2,
+                               qubits=(1, 8), shots=None, num_twirls=2,
+                               n_estimators=10, seed=0,
+                               engine="pauli_prop", max_terms=4096)
+    j0 = sorted((r for r in out["rows"] if r["J"] == 0.0),
+                key=lambda r: r["step"])
+    assert len(j0) == 4
+    for r in j0:
+        want = np.cos(r["step"] * np.pi / 2.0)
+        np.testing.assert_allclose(np.asarray(r["ideal"]), want, atol=1e-3)
     others = [r for r in out["rows"] if r["J"] != 0.0 and r["step"] == 1]
     assert max(float(np.abs(np.asarray(r["ideal"])).max())
                for r in others) > 0.05
