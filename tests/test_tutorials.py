@@ -20,6 +20,7 @@ TUTORIALS = [
     "a1_simulation_engines.py",
     "a2_scale_100q.py",
     "a3_multichip_sharding.py",
+    "z01_mlp_debug.py",
 ]
 
 TUT_DIR = os.path.join(os.path.dirname(__file__), "..", "docs", "tutorials")
