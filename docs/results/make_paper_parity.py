@@ -31,6 +31,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calibrate", action="store_true",
                     help="refit the per-setting noise scales and print them")
+    ap.add_argument("--protocol", default="faithful",
+                    choices=["faithful", "v2"],
+                    help="faithful = the reference's published-table "
+                         "protocol (init prefix, lowered circuits, random "
+                         "J/basis train at steps 0-14, fixed-J test sweep "
+                         "0-29); v2 = the r2/r3 interpolation protocol")
     ap.add_argument("--fast", action="store_true",
                     help="reduced protocol (smoke scale, NOT the artifact)")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
@@ -38,10 +44,22 @@ def main():
         RESULTS_DIR, "paper_parity_table.json"))
     args = ap.parse_args()
 
-    from mlqem_tpu.workflows.paper_parity import (calibrate_noise_scale,
+    from mlqem_tpu.workflows.paper_parity import (calibrate_coherent_theta,
+                                                  calibrate_noise_scale,
                                                   paper_parity_study)
 
     if args.calibrate:
+        if args.protocol == "faithful":
+            for s in ("incoherent", "no_readout"):
+                out = calibrate_noise_scale(s, protocol="faithful")
+                print(f"{s}: scale={out['scale']:.4f} "
+                      f"rmse={out['rmse']:.4f} target={out['target']:.3f}")
+            out = calibrate_coherent_theta()
+            print(f"coherent: theta_mult={out['theta_mult']:.3f} "
+                  f"rmse={out['rmse']:.4f} target={out['target']:.3f} "
+                  f"(inc scale fixed at {out['inc_scale']})")
+            print("paste into workflows/paper_parity.py::FAITHFUL_SCALE")
+            return
         for s in ("incoherent", "coherent", "no_readout"):
             out = calibrate_noise_scale(s)
             print(f"{s}: scale={out['scale']:.4f} "
@@ -49,13 +67,13 @@ def main():
         print("paste into workflows/paper_parity.py::CALIBRATED_SCALE")
         return
 
-    kwargs = {}
+    kwargs = {"protocol": args.protocol}
     if args.fast:
-        kwargs = dict(num_train=60, max_steps=10, num_test_steps=10,
+        kwargs.update(num_train=60, max_steps=10, num_test_steps=10,
                       mlp_epochs=50, gnn_epochs=100, num_twirls=4)
     t0 = time.time()
     study = paper_parity_study(seeds=tuple(args.seeds), **kwargs)
-    study["protocol"] = {"fast": bool(args.fast),
+    study["run_info"] = {"fast": bool(args.fast),
                          "wall_seconds": round(time.time() - t0, 1),
                          **kwargs}
     with open(args.out, "w") as f:

@@ -67,6 +67,28 @@ class IsingOptions:
         return cls(nq=100, h=0.66 * math.pi, J=0.15, dt=0.5, **kw)
 
 
+def ising_init_prefix_4q() -> Circuit:
+    """The paper's fixed random 4q initial-state block.
+
+    The single-Ising datasets behind the published figure-4 RMSE table
+    prepend ONE fixed random init circuit to every Trotter circuit
+    (``h13_ising_data_gen.ipynb`` ``construct_ising_circuit_random_init``:
+    a hard-coded qasm string — rz/rz on q1, rz+rx on q3, cx(3,0), rx on
+    q2, cx(2,3)).  Train and test share it; it scrambles the domain-wall
+    structure so per-qubit ⟨Z⟩ labels are not symmetric functions of the
+    Trotter layer alone.
+    """
+    qc = Circuit(4)
+    qc.rz(0.0007186381718527407, 1)
+    qc.rz(2.4917901988569855, 1)
+    qc.rz(3.3854853863523835, 3)
+    qc.rx(1.2846113715328817, 3)
+    qc.cx(3, 0)
+    qc.rx(4.212671608894216, 2)
+    qc.cx(2, 3)
+    return qc
+
+
 class IsingModel:
     """1D transverse-field Ising Trotter circuits.
 
@@ -101,8 +123,14 @@ class IsingModel:
         qc.barrier()
 
     @classmethod
-    def make_circuit(cls, ops: IsingOptions, measure: bool = True) -> Circuit:
+    def make_circuit(cls, ops: IsingOptions, measure: bool = True,
+                     init: Optional[Circuit] = None) -> Circuit:
         qc = Circuit(ops.nq)
+        if init is not None:
+            # fixed initial-state block BEFORE the Trotter layers
+            # (h13 ``qc_init.compose(make_circs_sweep(...))``)
+            qc.ops.extend(init.ops)
+            qc.barrier()
         for _ in range(ops.depth):
             cls.apply_layer(qc, ops)
         allq = list(range(ops.nq))
@@ -123,10 +151,11 @@ class IsingModel:
 
     @classmethod
     def make_circs_sweep(cls, ops: IsingOptions, num_steps: int,
-                         measure_basis: str, measure: bool = True) -> Circuit:
+                         measure_basis: str, measure: bool = True,
+                         init: Optional[Circuit] = None) -> Circuit:
         ops = dataclasses.replace(ops, depth=num_steps,
                                   measure_basis=measure_basis)
-        return cls.make_circuit(ops, measure=measure)
+        return cls.make_circuit(ops, measure=measure, init=init)
 
 
 # ---------------------------------------------------------------------------

@@ -338,4 +338,8 @@ def transpile(circuit: Circuit,
                             layout[lq] = u
                 b = path[1]
         emit_2q(op, a, b)
+    # logical→physical positions after routing (final_layout[lq] = the
+    # physical qubit holding logical lq's state) — callers that read
+    # per-qubit observables off a routed circuit must select these columns
+    out.metadata["final_layout"] = list(layout)
     return out

@@ -66,7 +66,8 @@ def noise_setting(device: DeviceModel, setting,
 
 def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
                noise_model: NoiseModel, shots: Optional[int],
-               seed: int, ideal: bool = True
+               seed: int, ideal: bool = True,
+               ideal_shots: Optional[int] = None
                ) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """(ideal[B, nq] or None, noisy[B, nq]) per-qubit Z labels.
 
@@ -75,6 +76,11 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     observable), and all qubits read off a shared shot record — the
     hardware/counts semantics (``cal_all_z_exp``, one counts dict per
     circuit).
+
+    ``ideal_shots`` samples the ideal labels too (the reference's ideal
+    arm is a noiseless *QasmSimulator counts* run at 10k shots — ``h13``
+    ``run_config_ideal`` — so its train labels and published RMSEs carry
+    an ≈1/√shots noise floor; exact ideal labels are the default).
     """
     import jax.numpy as jnp
 
@@ -88,9 +94,14 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
 
     nq = circuits[0].num_qubits
     ct = stack_circuits(list(circuits))
-    ideal_vals = np.asarray(
-        z_expectations(probabilities(batch_statevectors(ct)), nq),
-        np.float64) if ideal else None
+    ideal_vals = None
+    if ideal:
+        iprobs = probabilities(batch_statevectors(ct))
+        ideal_vals = np.asarray(
+            z_expectations(iprobs, nq) if ideal_shots is None
+            else sampled_z_expectations(prng_key(seed + 7919), iprobs,
+                                        int(ideal_shots), nq),
+            np.float64)
 
     keys, table = compile_noise_table(ct, noise_model)
     probs = dm_probabilities(batch_density_matrices(ct, keys, table))
@@ -117,6 +128,74 @@ class LabeledDataset:
         return len(self.circuits)
 
 
+def _path_layout(device: DeviceModel, k: int) -> Optional[List[int]]:
+    """A simple path of k physical qubits in the coupling graph (DFS,
+    deterministic) — the natural line embedding qiskit's layout passes
+    find for chain circuits. None if the graph has no k-path."""
+    adj: Dict[int, List[int]] = {}
+    for a, b in device.coupling_map:
+        adj.setdefault(int(a), []).append(int(b))
+    for v in adj.values():
+        v.sort()
+
+    def dfs(path, seen):
+        if len(path) == k:
+            return path
+        for nxt in adj.get(path[-1], []):
+            if nxt not in seen:
+                r = dfs(path + [nxt], seen | {nxt})
+                if r is not None:
+                    return r
+        return None
+
+    for start in sorted(adj):
+        r = dfs([start], {start})
+        if r is not None:
+            return r
+    return None
+
+
+def _prep_circuit(qc, lower: bool, device: Optional[DeviceModel] = None):
+    """Basis lowering + (optionally) coupling-map routing (h13 parity).
+
+    ``lower`` runs the structural transpile to the IBM basis
+    {cx, id, rz, sx, x} — the reference encodes gate counts / angle bins
+    of the TRANSPILED circuit (``h13`` ``transpile(..., opt=3)``; counts
+    are model features, ``mlp.py:172-189``), so faithful feature
+    distributions require lowered circuits.
+
+    Passing ``device`` also routes onto its coupling map from a simple-
+    path initial layout (the physical-qubit width grows to the device's).
+    Routing matters beyond features: per-edge noise channels attach to
+    CALIBRATED directed pairs only, so an unrouted ``cx`` on a non-edge
+    (the 4q chain's (2,3) bond on FakeLima's tree) silently evolves
+    noiselessly — the reference never hits this because every executed
+    CX is physical.  Callers must then read logical observables through
+    ``metadata["final_layout"]``.
+    """
+    if not lower:
+        return qc
+    from ..transpile.lower import transpile
+
+    if device is None:
+        return transpile(qc)
+    lay = _path_layout(device, qc.num_qubits)
+    return transpile(qc, coupling_map=list(device.coupling_map),
+                     initial_layout=lay, num_qubits=device.num_qubits)
+
+
+def _select_logical(vals: np.ndarray, circuits: Sequence[Circuit],
+                    nq_logical: int) -> np.ndarray:
+    """[B, n_phys] per-physical-qubit values → [B, nq_logical] via each
+    routed circuit's final layout (identity for unrouted circuits)."""
+    out = np.empty((vals.shape[0], nq_logical), vals.dtype)
+    for b, qc in enumerate(circuits):
+        lay = qc.metadata.get("final_layout",
+                              list(range(nq_logical)))[:nq_logical]
+        out[b] = vals[b, lay]
+    return out
+
+
 def ising_dataset(device: DeviceModel,
                   options: Optional[IsingOptions] = None,
                   num_circuits: int = 100,
@@ -125,21 +204,41 @@ def ising_dataset(device: DeviceModel,
                   bases: Sequence[str] = ("Z",),
                   noise: str = "device",
                   shots: Optional[int] = 10000,
+                  init_prefix: bool = False,
+                  lower: bool = False,
+                  route: bool = False,
+                  ideal_shots: Optional[int] = None,
                   seed: int = 0) -> LabeledDataset:
-    """TFIM Trotter dataset with randomized (J, steps, basis)."""
+    """TFIM Trotter dataset with randomized (J, steps, basis).
+
+    ``init_prefix`` prepends the paper's fixed random 4q initial block
+    (:func:`~..circuits.families.ising_init_prefix_4q`); ``lower``
+    transpiles to the IBM basis before labeling/encoding — together these
+    reproduce the ``ising_init_from_qasm_*`` dataset protocol
+    (``h13_ising_data_gen.ipynb`` cells 9-12).
+    """
+    from ..circuits.families import ising_init_prefix_4q
+
     rng = np.random.default_rng(seed)
     base = options or IsingOptions.config_4q_paper()
     nm = noise_setting(device, noise, seed=seed)
+    init = ising_init_prefix_4q() if init_prefix else None
     circuits, meta = [], []
     for _ in range(num_circuits):
         J = float(rng.uniform(*J_range))
         steps = int(rng.integers(steps_range[0], steps_range[1]))
         basis = str(rng.choice(list(bases)))
         ops = dataclasses.replace(base, J=J)
-        qc = IsingModel.make_circs_sweep(ops, steps, basis, measure=False)
-        circuits.append(qc)
+        qc = IsingModel.make_circs_sweep(ops, steps, basis, measure=False,
+                                         init=init)
+        circuits.append(_prep_circuit(qc, lower, device if route else None))
         meta.append({"J": J, "steps": steps, "basis": basis})
-    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    nq_logical = base.nq
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed,
+                              ideal_shots=ideal_shots)
+    if route:
+        ideal = _select_logical(ideal, circuits, nq_logical)
+        noisy = _select_logical(noisy, circuits, nq_logical)
     return LabeledDataset(circuits, ideal, noisy, meta)
 
 
@@ -147,15 +246,28 @@ def ising_step_sweep(device: DeviceModel, options: IsingOptions,
                      num_steps: int, basis: str = "Z",
                      noise: str = "device",
                      shots: Optional[int] = 10000,
+                     init_prefix: bool = False,
+                     lower: bool = False,
+                     route: bool = False,
+                     ideal_shots: Optional[int] = None,
                      seed: int = 0) -> LabeledDataset:
     """Trotter-step time series (the demo2 evaluation axis)."""
+    from ..circuits.families import ising_init_prefix_4q
+
     nm = noise_setting(device, noise, seed=seed)
-    circuits = [IsingModel.make_circs_sweep(options, s, basis,
-                                            measure=False)
-                for s in range(num_steps + 1)]
+    init = ising_init_prefix_4q() if init_prefix else None
+    circuits = [_prep_circuit(
+        IsingModel.make_circs_sweep(options, s, basis, measure=False,
+                                    init=init), lower,
+        device if route else None)
+        for s in range(num_steps + 1)]
     meta = [{"J": options.J, "steps": s, "basis": basis}
             for s in range(num_steps + 1)]
-    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed)
+    ideal, noisy = _zq_labels(circuits, device, nm, shots, seed,
+                              ideal_shots=ideal_shots)
+    if route:
+        ideal = _select_logical(ideal, circuits, options.nq)
+        noisy = _select_logical(noisy, circuits, options.nq)
     return LabeledDataset(circuits, ideal, noisy, meta)
 
 

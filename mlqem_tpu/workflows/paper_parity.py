@@ -30,6 +30,7 @@ import numpy as np
 
 from ..circuits.families import IsingOptions
 from ..device.model import DeviceModel
+from ..device.noise import add_coherent_cx_noise
 from ..device.registry import get_device
 from ..metrics import rmse
 from ..models.forest import RandomForestRegressor
@@ -61,10 +62,33 @@ CALIBRATED_SCALE: Dict[str, float] = {
     "no_readout": 5.4760,   # noisy RMSE 0.1514 vs published 0.151
 }
 
+# The faithful protocol's calibration (see ``single_ising_parity``'s
+# ``protocol`` doc): incoherent channel scales re-fit on the ROUTED
+# faithful test sweep, plus — coherent setting only — a multiplier on the
+# reference's literal over-rotation bound θ=0.04π (``h13`` datagen cell:
+# ``AddNoise().add_coherent_noise(seed=0, theta=np.pi*0.04)``).  With
+# coupling-map routing in place the scales collapse to ≈1 (vs the 4-5.5×
+# the unrouted v2 protocol needed): the "weak simulator" gap was the
+# missing SWAP/routing CX overhead plus unrouted CXs on non-edges evolving
+# noiselessly.  The residual θ multiplier (1.29) keeps the marginal noise
+# COHERENT: scaling the incoherent parts to the 0.268 anchor instead makes
+# the regime damping-dominated and ~3x more learnable than published
+# (r3's coherent gap).  Values fit by ``make_paper_parity.py --calibrate``
+# (bisection, tol 1%/0.5%): noisy RMSE 0.1713/0.2671/0.1520 vs published
+# 0.172/0.268/0.151.
+FAITHFUL_THETA = 0.04 * np.pi
+FAITHFUL_SCALE: Dict[str, Dict[str, float]] = {
+    "incoherent": {"scale": 0.9473},
+    "coherent": {"scale": 0.9473, "theta_mult": 1.2898},
+    "no_readout": {"scale": 0.8318},
+}
+
 
 def _experiment_noise(setting: str, device: DeviceModel,
                       noise_scale: Optional[float],
-                      noise_seed: int = 0):
+                      noise_seed: int = 0,
+                      protocol: str = "v2",
+                      theta_mult: Optional[float] = None):
     """ONE noise-model realization for a whole experiment.
 
     Train, test and ZNE stages must see the same channels — the coherent
@@ -72,6 +96,19 @@ def _experiment_noise(setting: str, device: DeviceModel,
     them per stage would both break model transfer and mis-state what the
     models learned.
     """
+    if protocol == "faithful":
+        cal = FAITHFUL_SCALE.get(setting, {"scale": 1.0})
+        scale = float(noise_scale if noise_scale is not None
+                      else cal["scale"])
+        if setting == "coherent":
+            mult = float(theta_mult if theta_mult is not None
+                         else cal["theta_mult"])
+            return add_coherent_cx_noise(
+                device, theta=FAITHFUL_THETA * mult, uniform=False,
+                add_depolarization=True, add_coherent=True,
+                seed=noise_seed, scale=scale), scale
+        return noise_setting(device, _SETTING_MAP[setting],
+                             seed=noise_seed, scale=scale), scale
     if noise_scale is None:
         noise_scale = CALIBRATED_SCALE.get(setting, 1.0)
     return noise_setting(device, _SETTING_MAP[setting], seed=noise_seed,
@@ -80,44 +117,97 @@ def _experiment_noise(setting: str, device: DeviceModel,
 
 def single_ising_parity(setting: str = "incoherent",
                         device: Optional[DeviceModel] = None,
-                        num_train: int = 200,
+                        num_train: Optional[int] = None,
                         max_steps: int = 30,
                         num_test_steps: int = 30,
                         shots: Optional[int] = 10000,
                         mlp_epochs: int = 200,
                         gnn_epochs: int = 400,
+                        gnn_train_max: int = 1200,
                         run_zne: bool = True,
                         num_twirls: int = 8,
                         noise_scale: Optional[float] = None,
+                        theta_mult: Optional[float] = None,
                         noise_seed: int = 0,
+                        protocol: str = "faithful",
                         seed: int = 0) -> Dict:
     """Re-run the single-Ising experiment; returns ours-vs-published RMSEs.
 
+    ``protocol`` selects the experiment shape:
+
+    * ``"faithful"`` (default) — the reference's actual published-table
+      protocol, decoded from ``h13_ising_data_gen.ipynb`` +
+      ``coherent_single_ising.pk``: every circuit carries the paper's
+      fixed random init block and is lowered to the IBM basis (features =
+      transpiled gate counts, ``h13`` ``transpile(..., opt=3)``); train =
+      ``num_train`` (default 4500 = the reference's 300/step × 15) circuits
+      with J ~ U[0, 1], basis ~ {X,Y,Z}, steps ~ U{0..14}; test = the
+      FIXED J=0.15 Z-basis sweep over steps 0..29 (so half the test is
+      depth EXTRAPOLATION); ideal labels are 10k-shot sampled (the
+      reference's ideal arm is QasmSimulator counts); the RF arm is the
+      per-qubit ``RandomForestRegressor(300)`` list (``h15`` cell 11).
+      This distribution shift is what makes the published coherent setting
+      nearly ML-resistant (RF 1.145×): interference-dominated errors do
+      not transfer from the random-(J, basis) train family to the fixed
+      test sweep.
+    * ``"v2"`` — round-2/3's interpolation protocol (train and test share
+      the Z-basis family and J grid, exact ideal labels, multi-output RF).
+      Kept because its regime is a like-for-like RMSE comparison per arm;
+      its improvement factors overstate learnability in the coherent
+      setting.
+
     ``noise_scale=None`` uses the calibrated per-setting scale
-    (:data:`CALIBRATED_SCALE`) so the noisy baseline matches the published
-    regime. The ``zne`` arm composes Pauli twirling with folding
-    (``num_twirls`` instances per folded circuit — the hardware pipeline's
-    resilience_level=2 semantics, ``h31`` Options cells); ``zne_untwirled``
-    records what plain folding alone would give (the reference's simulated
-    ZNE, ``zne_parallel.py:176-188``).
+    (:data:`CALIBRATED_SCALE` / :data:`FAITHFUL_SCALE`) so the noisy
+    baseline matches the published regime. The ``zne`` arm composes Pauli
+    twirling with folding (``num_twirls`` instances per folded circuit —
+    the hardware pipeline's resilience_level=2 semantics, ``h31`` Options
+    cells); ``zne_untwirled`` records what plain folding alone would give
+    (the reference's simulated ZNE, ``zne_parallel.py:176-188``).
     """
+    if protocol not in ("faithful", "v2"):
+        raise ValueError(f"unknown protocol {protocol!r}")
+    faithful = protocol == "faithful"
     device = device or get_device("fake_lima")
     nm, noise_scale = _experiment_noise(setting, device, noise_scale,
-                                        noise_seed)
+                                        noise_seed, protocol=protocol,
+                                        theta_mult=theta_mult)
     ops = IsingOptions.config_4q_paper()
-    train = ising_dataset(device, options=ops, num_circuits=num_train,
-                          steps_range=(0, max_steps + 1), noise=nm,
-                          shots=shots, seed=seed)
-    test = ising_step_sweep(device, ops, num_test_steps, noise=nm,
-                            shots=shots, seed=seed + 1)
+    if num_train is None:
+        num_train = 4500 if faithful else 200
+    if faithful:
+        train = ising_dataset(device, options=ops, num_circuits=num_train,
+                              steps_range=(0, 15), J_range=(0.0, 1.0),
+                              bases=("X", "Y", "Z"), noise=nm, shots=shots,
+                              init_prefix=True, lower=True, route=True,
+                              ideal_shots=shots, seed=seed)
+        test = ising_step_sweep(device, ops, num_test_steps - 1, noise=nm,
+                                shots=shots, init_prefix=True, lower=True,
+                                route=True, ideal_shots=shots,
+                                seed=seed + 1)
+    else:
+        train = ising_dataset(device, options=ops, num_circuits=num_train,
+                              steps_range=(0, max_steps + 1), noise=nm,
+                              shots=shots, seed=seed)
+        test = ising_step_sweep(device, ops, num_test_steps, noise=nm,
+                                shots=shots, seed=seed + 1)
     Xtr, ytr = encode_dataset(train, device)
     Xte, yte = encode_dataset(test, device)
 
     ours: Dict[str, float] = {"noisy": float(rmse(test.noisy, test.ideal))}
 
-    rf = RandomForestRegressor(n_estimators=300, random_state=seed)
-    rf.fit(Xtr, ytr)
-    ours["random_forest"] = float(rmse(rf.predict(Xte), yte))
+    if faithful:
+        # per-qubit RF(300) list — h15 cell 11
+        pred = np.zeros_like(yte)
+        for q in range(yte.shape[1]):
+            rf = RandomForestRegressor(n_estimators=300,
+                                       random_state=seed + q)
+            rf.fit(Xtr, ytr[:, q])
+            pred[:, q] = rf.predict(Xte)
+        ours["random_forest"] = float(rmse(pred, yte))
+    else:
+        rf = RandomForestRegressor(n_estimators=300, random_state=seed)
+        rf.fit(Xtr, ytr)
+        ours["random_forest"] = float(rmse(rf.predict(Xte), yte))
 
     ols = LinearRegression().fit(Xtr, ytr)
     ours["ols"] = float(rmse(ols.predict(Xte), yte))
@@ -137,18 +227,29 @@ def single_ising_parity(setting: str = "incoherent",
     from .datasets import LabeledDataset
     from .mitigate import graph_encode_dataset
 
+    gtrain = train
+    if faithful and len(train) > gnn_train_max:
+        # the dense-masked GNN over 4500 lowered (~900-node) graphs is the
+        # one arm that cannot afford the full faithful train set on the
+        # CPU artifact runner — train it on a seeded subsample and record
+        # the count in the artifact config
+        sub = np.random.default_rng(seed).choice(
+            len(train), size=gnn_train_max, replace=False)
+        gtrain = LabeledDataset([train.circuits[i] for i in sub],
+                                train.ideal[sub], train.noisy[sub],
+                                [train.meta[i] for i in sub])
     combined = LabeledDataset(
-        list(train.circuits) + list(test.circuits),
-        np.concatenate([train.ideal, test.ideal]),
-        np.concatenate([train.noisy, test.noisy]),
-        list(train.meta) + list(test.meta))
-    n_tr = len(train)
+        list(gtrain.circuits) + list(test.circuits),
+        np.concatenate([gtrain.ideal, test.ideal]),
+        np.concatenate([gtrain.noisy, test.noisy]),
+        list(gtrain.meta) + list(test.meta))
+    n_tr = len(gtrain)
     gall = graph_encode_dataset(combined, device, stats_count=n_tr)
     gnn = ExpValCircuitGraphModel3(hidden_channels=15, exp_value_size=4,
                                    dropout=0.0)
     gvars, _ = train_gnn(
         gnn, {**{k: v[:n_tr] for k, v in gall.items()},
-              "y": train.ideal.astype(np.float32)},
+              "y": gtrain.ideal.astype(np.float32)},
         num_epochs=gnn_epochs, batch_size=32, learning_rate=2e-3, seed=seed)
     gpred = predict(gnn, gvars, gnn_inputs,
                     {k: v[n_tr:] for k, v in gall.items()})
@@ -163,8 +264,10 @@ def single_ising_parity(setting: str = "incoherent",
         ours["zne_untwirled"] = float(rmse(plain, test.ideal))
 
     pub = PUBLISHED[setting]
-    return {
+    out = {
         "setting": setting,
+        "protocol": protocol,
+        "num_train": num_train,
         "noise_scale": noise_scale,
         "num_twirls": num_twirls,
         "seed": seed,
@@ -175,21 +278,80 @@ def single_ising_parity(setting: str = "incoherent",
         "improvement_published": {k: pub["noisy"] / v
                                   for k, v in pub.items() if k != "noisy"},
     }
+    if faithful:
+        out["gnn_train_count"] = n_tr
+        if setting == "coherent":
+            out["theta_mult"] = float(
+                theta_mult if theta_mult is not None
+                else FAITHFUL_SCALE["coherent"]["theta_mult"])
+    return out
 
 
 def noisy_rmse_at_scale(setting: str, scale: float,
                         device: Optional[DeviceModel] = None,
                         num_test_steps: int = 30,
                         shots: Optional[int] = 10000,
-                        noise_seed: int = 0, seed: int = 0) -> float:
+                        noise_seed: int = 0, seed: int = 0,
+                        protocol: str = "v2",
+                        theta_mult: Optional[float] = None) -> float:
     """The parity protocol's NOISY-arm RMSE at one noise scale (the
-    calibration objective — same test set as :func:`single_ising_parity`)."""
+    calibration objective — same test set as :func:`single_ising_parity`).
+
+    Under ``protocol="faithful"`` + ``setting="coherent"``, pass the scale
+    as ``theta_mult`` via the keyword and keep ``scale`` at the calibrated
+    incoherent value — :func:`calibrate_coherent_theta` wraps this.
+    """
     device = device or get_device("fake_lima")
-    nm, _ = _experiment_noise(setting, device, scale, noise_seed)
-    test = ising_step_sweep(device, IsingOptions.config_4q_paper(),
-                            num_test_steps, noise=nm, shots=shots,
-                            seed=seed + 1)
+    nm, _ = _experiment_noise(setting, device, scale, noise_seed,
+                              protocol=protocol, theta_mult=theta_mult)
+    if protocol == "faithful":
+        test = ising_step_sweep(device, IsingOptions.config_4q_paper(),
+                                num_test_steps - 1, noise=nm, shots=shots,
+                                init_prefix=True, lower=True, route=True,
+                                ideal_shots=shots, seed=seed + 1)
+    else:
+        test = ising_step_sweep(device, IsingOptions.config_4q_paper(),
+                                num_test_steps, noise=nm, shots=shots,
+                                seed=seed + 1)
     return float(rmse(test.noisy, test.ideal))
+
+
+def calibrate_coherent_theta(target: Optional[float] = None,
+                             device: Optional[DeviceModel] = None,
+                             lo: float = 0.5, hi: float = 16.0,
+                             iters: int = 10, tol: float = 0.01,
+                             **kwargs) -> Dict:
+    """Fit the faithful protocol's coherent θ multiplier: bisection on
+    ``theta_mult`` at the FIXED incoherent scale so the noisy arm hits the
+    published coherent baseline with the marginal noise kept coherent."""
+    target = target if target is not None else PUBLISHED["coherent"]["noisy"]
+    device = device or get_device("fake_lima")
+    inc_scale = FAITHFUL_SCALE["coherent"]["scale"]
+    history = []
+
+    def f(m):
+        r = noisy_rmse_at_scale("coherent", inc_scale, device,
+                                protocol="faithful", theta_mult=m, **kwargs)
+        history.append({"theta_mult": float(m), "rmse": float(r)})
+        return r
+
+    r_lo, r_hi = f(lo), f(hi)
+    if not (r_lo <= target <= r_hi):
+        raise ValueError(f"target {target} outside [{r_lo:.4f}, {r_hi:.4f}]")
+    llo, lhi = np.log(lo), np.log(hi)
+    mid, r_mid = lo, r_lo
+    for _ in range(iters):
+        mid = float(np.exp((llo + lhi) / 2))
+        r_mid = f(mid)
+        if abs(r_mid - target) / target <= tol:
+            break
+        if r_mid < target:
+            llo = np.log(mid)
+        else:
+            lhi = np.log(mid)
+    return {"theta_mult": float(mid), "rmse": float(r_mid),
+            "target": float(target), "inc_scale": float(inc_scale),
+            "history": history}
 
 
 def calibrate_noise_scale(setting: str,
@@ -247,7 +409,10 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
     import sys
     import time
 
-    out: Dict = {"schema": "paper_parity/v2", "seeds": list(seeds),
+    protocol = kwargs.get("protocol", "faithful")
+    out: Dict = {"schema": "paper_parity/v3" if protocol == "faithful"
+                 else "paper_parity/v2",
+                 "protocol": protocol, "seeds": list(seeds),
                  "settings": {}}
     for setting in settings:
         runs = []
@@ -267,6 +432,9 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
         out["settings"][setting] = {
             "noise_scale": runs[0]["noise_scale"],
             "num_twirls": runs[0]["num_twirls"],
+            "num_train": runs[0].get("num_train"),
+            **({"theta_mult": runs[0]["theta_mult"]}
+               if "theta_mult" in runs[0] else {}),
             "published": PUBLISHED[setting],
             "ours_mean": mean,
             "ours_std": std,

@@ -273,9 +273,29 @@ def test_single_ising_parity_smoke():
 
     out = single_ising_parity("incoherent", num_train=40, max_steps=10,
                               num_test_steps=10, mlp_epochs=20,
-                              gnn_epochs=20, run_zne=False, seed=0)
+                              gnn_epochs=20, run_zne=False, seed=0,
+                              protocol="v2")
     assert out["improvement_ours"]["random_forest"] > 1.5
     assert out["ours"]["random_forest"] < out["ours"]["noisy"]
+    assert np.isfinite(out["ours"]["gnn"])
+
+
+def test_single_ising_parity_faithful_smoke():
+    """The faithful protocol end-to-end at smoke scale: routed/lowered
+    5q circuits with the init prefix, per-qubit RF list, shot-sampled
+    ideal labels.  Band: the RF must at least not hurt (the full-scale
+    published-family bands live on the shipped v3 artifact via
+    test_paper_parity_schema)."""
+    from mlqem_tpu.workflows.paper_parity import single_ising_parity
+
+    out = single_ising_parity("incoherent", num_train=150,
+                              num_test_steps=10, mlp_epochs=20,
+                              gnn_epochs=20, gnn_train_max=60,
+                              run_zne=False, seed=0, protocol="faithful")
+    assert out["protocol"] == "faithful"
+    # routed width: features/labels stay logical-4q
+    assert len(out["ours"]) >= 4
+    assert out["ours"]["random_forest"] < 1.15 * out["ours"]["noisy"]
     assert np.isfinite(out["ours"]["gnn"])
 
 
@@ -290,7 +310,8 @@ def test_single_ising_parity_improvements():
     # 400 adds ~550s CPU for ~the same band margin)
     out = single_ising_parity("incoherent", num_train=120, max_steps=15,
                               num_test_steps=15, mlp_epochs=80,
-                              gnn_epochs=150, run_zne=False, seed=0)
+                              gnn_epochs=150, run_zne=False, seed=0,
+                              protocol="v2")
     imp = out["improvement_ours"]
     assert imp["random_forest"] > 2.0
     # published GNN improvement on this setting is 0.172/0.130 ≈ 1.3
