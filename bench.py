@@ -32,7 +32,8 @@ def main():
                 help="default: 16384 for kicked (HBM sweet spot), 8192 otherwise")
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
-                    choices=["kicked", "trajectory", "frame", "density_matrix"],
+                    choices=["kicked", "trajectory", "trajectory_gather", "frame",
+                             "density_matrix"],
                     help="noisy engine: kicked-Ising Pauli-frame+WHT (the "
                          "family-specialized fast path), generic "
                          "Pauli-twirled trajectories, or exact density "
@@ -128,6 +129,7 @@ def main():
 
     desc = {"kicked": "Pauli-frame trajectory noise",
             "trajectory": "Pauli-twirled trajectory noise",
+            "trajectory_gather": "Pauli-twirled gather-engine noise",
             "frame": "Pauli-frame generic-circuit noise",
             "density_matrix": "exact dm noise"}[args.method]
     print(json.dumps({

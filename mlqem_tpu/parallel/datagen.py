@@ -63,10 +63,14 @@ class IsingLabelPipeline:
     readout: bool = True
     noise_model: Optional[NoiseModel] = None
     # 'density_matrix' = exact Aer-style channels; 'trajectory' = the
-    # high-throughput Pauli-twirled trajectory engine (ops/trajectory.py);
-    # 'frame' = the Pauli-frame trajectory variant (ops/frame_trajectory.py,
-    # rotation+CX circuits only — measured ~5% faster on v5e but ~4x
-    # slower on CPU and ~4x the compile time, so opt-in)
+    # Pauli-twirled trajectory engine — on TPU it auto-dispatches to the
+    # fused Pallas Pauli-frame kernel when the circuit is frame-supported
+    # (887k pairs/min/chip vs the XLA gather engine's 59.6k, PERF.md r4);
+    # 'trajectory_gather' pins the XLA gather engine (any gate set);
+    # 'frame' forces the Pauli-frame variant (ops/frame_trajectory.py,
+    # rotation+Clifford circuits only — errors if unsupported; on CPU it
+    # is ~4x slower than the gather engine, so 'trajectory' keeps gather
+    # off-TPU)
     method: str = "density_matrix"
     n_traj: int = 100
 
@@ -88,18 +92,20 @@ class IsingLabelPipeline:
         ro = nm.readout[:self.nq] if (self.readout and nm.readout is not None) \
             else None
         self._confusion = None if ro is None else np.asarray(ro, np.float32)
-        if self.method in ("trajectory", "frame"):
+        if self.method in ("trajectory", "trajectory_gather", "frame"):
+            from ..ops.frame_trajectory import frame_supported
             from ..ops.trajectory import twirled_noise_tables
 
             self._pauli_probs = twirled_noise_tables(ct0, nm)  # [L, 16]
             if self.method == "frame":
-                from ..ops.frame_trajectory import frame_supported
-
                 if not frame_supported(ct0, self.nq):
                     raise ValueError(
                         "method='frame' needs rotations + Cliffords "
                         "(gate set {id,x,y,z,h,s,sdg,t,tdg,sx,sxdg,rx,ry,"
                         "rz,p,rzz,cx,cy,cz,swap}, <=30 qubits)")
+            elif self.method == "trajectory" and _on_tpu() \
+                    and frame_supported(ct0, self.nq):
+                self.method = "frame"   # TPU: fused frame kernel wins 15x
         self._compiled = {}  # mesh (or None) -> jitted program
 
     def _build(self, mesh=None):
@@ -108,7 +114,7 @@ class IsingLabelPipeline:
         nq, shots = self.nq, self.shots
         method, n_traj = self.method, self.n_traj
         use_frame = method == "frame"
-        if method in ("trajectory", "frame"):
+        if method in ("trajectory", "trajectory_gather", "frame"):
             pauli_probs = self._pauli_probs
             shots_per_traj = None if shots is None else max(
                 1, shots // n_traj)
@@ -126,7 +132,7 @@ class IsingLabelPipeline:
 
             ideal = jax.vmap(one_ideal)(ct.params)
 
-            if method in ("trajectory", "frame"):
+            if method in ("trajectory", "trajectory_gather", "frame"):
                 B = param_batch.shape[0]
                 from ..ops.sampling import sample_small_categorical
 

@@ -398,14 +398,21 @@ def calibrate_noise_scale(setting: str,
 def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
                                                   "no_readout"),
                        seeds: Sequence[int] = (0, 1, 2),
+                       parts_dir: Optional[str] = None,
                        **kwargs) -> Dict:
     """The complete, reproducible paper-parity artifact: every setting ×
     seed through :func:`single_ising_parity`, aggregated to mean ± std with
     improvement factors, next to the published anchors.
 
+    ``parts_dir`` caches each finished (setting, seed) run as JSON so a
+    killed run (TPU-tunnel drop) resumes instead of recomputing — the same
+    pattern as demo1's per-(arm, j-chunk) parts.
+
     This is what ``docs/results/make_paper_parity.py`` runs; the schema is
     asserted by ``tests/test_workflows.py::test_paper_parity_schema``.
     """
+    import json
+    import os
     import sys
     import time
 
@@ -414,11 +421,24 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
                  else "paper_parity/v2",
                  "protocol": protocol, "seeds": list(seeds),
                  "settings": {}}
+    if parts_dir:
+        os.makedirs(parts_dir, exist_ok=True)
     for setting in settings:
         runs = []
         for s in seeds:
+            part = (os.path.join(parts_dir, f"{protocol}_{setting}_s{s}.json")
+                    if parts_dir else None)
+            if part and os.path.exists(part):
+                with open(part) as f:
+                    runs.append(json.load(f))
+                print(f"[paper_parity] {setting} seed={s}: cached ({part})",
+                      file=sys.stderr, flush=True)
+                continue
             t0 = time.time()
             runs.append(single_ising_parity(setting, seed=s, **kwargs))
+            if part:
+                with open(part, "w") as f:
+                    json.dump(runs[-1], f)
             print(f"[paper_parity] {setting} seed={s}: "
                   f"{time.time() - t0:.0f}s "
                   f"noisy={runs[-1]['ours']['noisy']:.4f} "
