@@ -64,6 +64,9 @@ def noise_setting(device: DeviceModel, setting,
     raise ValueError(f"unknown noise setting {setting!r}")
 
 
+_ZQ_CHUNK = 512   # axon: the dm batch at B≳1500 crashes the TPU worker
+
+
 def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
                noise_model: NoiseModel, shots: Optional[int],
                seed: int, ideal: bool = True,
@@ -81,9 +84,18 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     arm is a noiseless *QasmSimulator counts* run at 10k shots — ``h13``
     ``run_config_ideal`` — so its train labels and published RMSEs carry
     an ≈1/√shots noise floor; exact ideal labels are the default).
+
+    Batches larger than ``_ZQ_CHUNK`` are evaluated in equal-shape chunks
+    sharing ONE compiled program (the tensor batch is stacked once at the
+    global op padding, then sliced): the axon TPU worker crashes on the
+    monolithic B=1500 dm program, and chunking also bounds HBM at any
+    batch size.  Chunk sampling keys are ``fold_in(seed, chunk)`` so
+    values differ from the unchunked path only above the threshold.
     """
+    import jax
     import jax.numpy as jnp
 
+    from ..circuits.circuit import CircuitTensor
     from ..device.noise import compile_noise_table
     from ..ops.density import (apply_readout_confusion,
                                batch_density_matrices, dm_probabilities)
@@ -93,28 +105,46 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     from ..utils.rng import prng_key
 
     nq = circuits[0].num_qubits
+    B = len(circuits)
     ct = stack_circuits(list(circuits))
-    ideal_vals = None
-    if ideal:
-        iprobs = probabilities(batch_statevectors(ct))
-        ideal_vals = np.asarray(
-            z_expectations(iprobs, nq) if ideal_shots is None
-            else sampled_z_expectations(prng_key(seed + 7919), iprobs,
-                                        int(ideal_shots), nq),
-            np.float64)
-
     keys, table = compile_noise_table(ct, noise_model)
-    probs = dm_probabilities(batch_density_matrices(ct, keys, table))
-    if noise_model is not None and noise_model.readout is not None:
-        probs = apply_readout_confusion(
-            probs, jnp.asarray(np.asarray(noise_model.readout[:nq],
-                                          np.float32)), nq)
-    if shots is None:
-        noisy = np.asarray(z_expectations(probs, nq), np.float64)
-    else:
-        noisy = np.asarray(sampled_z_expectations(
-            prng_key(seed), probs, int(shots), nq), np.float64)
-    return ideal_vals, noisy
+    confusion = (jnp.asarray(np.asarray(noise_model.readout[:nq],
+                                        np.float32))
+                 if noise_model is not None
+                 and noise_model.readout is not None else None)
+
+    def eval_chunk(ct_c: CircuitTensor, keys_c, chunk_seed: int):
+        ideal_c = None
+        if ideal:
+            iprobs = probabilities(batch_statevectors(ct_c))
+            ideal_c = np.asarray(
+                z_expectations(iprobs, nq) if ideal_shots is None
+                else sampled_z_expectations(prng_key(chunk_seed + 7919),
+                                            iprobs, int(ideal_shots), nq),
+                np.float64)
+        probs = dm_probabilities(batch_density_matrices(ct_c, keys_c, table))
+        if confusion is not None:
+            probs = apply_readout_confusion(probs, confusion, nq)
+        if shots is None:
+            noisy_c = np.asarray(z_expectations(probs, nq), np.float64)
+        else:
+            noisy_c = np.asarray(sampled_z_expectations(
+                prng_key(chunk_seed), probs, int(shots), nq), np.float64)
+        return ideal_c, noisy_c
+
+    if B <= _ZQ_CHUNK:
+        return eval_chunk(ct, keys, seed)
+
+    ideal_parts, noisy_parts = [], []
+    for c0 in range(0, B, _ZQ_CHUNK):
+        sl = slice(c0, min(c0 + _ZQ_CHUNK, B))
+        ct_c = CircuitTensor(ct.gate_ids[sl], ct.qubits[sl],
+                             ct.params[sl], nq)
+        i_c, n_c = eval_chunk(ct_c, keys[sl], seed + 7 * (c0 // _ZQ_CHUNK))
+        ideal_parts.append(i_c)
+        noisy_parts.append(n_c)
+    ideal_vals = (np.concatenate(ideal_parts) if ideal else None)
+    return ideal_vals, np.concatenate(noisy_parts)
 
 
 @dataclasses.dataclass
