@@ -64,7 +64,14 @@ def noise_setting(device: DeviceModel, setting,
     raise ValueError(f"unknown noise setting {setting!r}")
 
 
-_ZQ_CHUNK = 512   # axon: the dm batch at B≳1500 crashes the TPU worker
+# axon worker-crash budget, in op-slots (B × padded op count). Empirical:
+# B=512 at 439 padded ops (the faithful parity train set) runs clean in
+# 273s; B=1500 at the same padding crashes the worker, as does the ZNE
+# folded batch (480 circuits × 3051 ops ≈ 1.46M slots) that slipped under
+# the old 512-CIRCUIT threshold. 200k slots keeps every chunk at/below the
+# validated-clean program size regardless of circuit depth.
+_ZQ_CHUNK = 512
+_ZQ_OP_BUDGET = 200_000
 
 
 def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
@@ -85,12 +92,14 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     ``run_config_ideal`` — so its train labels and published RMSEs carry
     an ≈1/√shots noise floor; exact ideal labels are the default).
 
-    Batches larger than ``_ZQ_CHUNK`` are evaluated in equal-shape chunks
-    sharing ONE compiled program (the tensor batch is stacked once at the
-    global op padding, then sliced): the axon TPU worker crashes on the
-    monolithic B=1500 dm program, and chunking also bounds HBM at any
-    batch size.  Chunk sampling keys are ``fold_in(seed, chunk)`` so
-    values differ from the unchunked path only above the threshold.
+    Batches above the ``_ZQ_OP_BUDGET`` op-slot budget (B × padded op
+    count, capped at ``_ZQ_CHUNK`` circuits) are evaluated in equal-shape
+    chunks sharing ONE compiled program (the tensor batch is stacked once
+    at the global op padding, then sliced): the axon TPU worker crashes on
+    programs past ~650k op-slots (the monolithic B=1500 train batch, the
+    480×3051 folded ZNE batch), and chunking also bounds HBM at any batch
+    size.  Chunk sampling keys are ``fold_in(seed, chunk)`` so values
+    differ from the unchunked path only above the threshold.
     """
     import jax
     import jax.numpy as jnp
@@ -132,15 +141,17 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
                 prng_key(chunk_seed), probs, int(shots), nq), np.float64)
         return ideal_c, noisy_c
 
-    if B <= _ZQ_CHUNK:
+    n_ops = int(ct.gate_ids.shape[1])
+    chunk = max(1, min(_ZQ_CHUNK, _ZQ_OP_BUDGET // max(1, n_ops)))
+    if B <= chunk:
         return eval_chunk(ct, keys, seed)
 
     ideal_parts, noisy_parts = [], []
-    for c0 in range(0, B, _ZQ_CHUNK):
-        sl = slice(c0, min(c0 + _ZQ_CHUNK, B))
+    for c0 in range(0, B, chunk):
+        sl = slice(c0, min(c0 + chunk, B))
         ct_c = CircuitTensor(ct.gate_ids[sl], ct.qubits[sl],
                              ct.params[sl], nq)
-        i_c, n_c = eval_chunk(ct_c, keys[sl], seed + 7 * (c0 // _ZQ_CHUNK))
+        i_c, n_c = eval_chunk(ct_c, keys[sl], seed + 7 * (c0 // chunk))
         ideal_parts.append(i_c)
         noisy_parts.append(n_c)
     ideal_vals = (np.concatenate(ideal_parts) if ideal else None)
