@@ -148,25 +148,35 @@ def train_model(model, inputs_fn: Callable[[Dict[str, np.ndarray], Any], tuple],
     best_val = np.inf
     best_variables = None
 
+    # Keep the dataset device-resident for the whole run: per-step host
+    # slicing re-ships every batch (the dense-adjacency GNN batches are
+    # 10-100MB) and per-step float(loss) forces a round-trip sync — over
+    # the axon tunnel those two dominate training wall time by far. With
+    # device arrays the [sel] gathers run on-chip, and deferring the loss
+    # fetches to epoch end lets dispatch pipeline (one sync per epoch).
+    data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+    y_dev = jnp.asarray(y)
+
     for epoch in range(num_epochs):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         order = rng.permutation(tr_idx)
         losses = []
         for s in range(0, len(order), batch_size):
             sel = order[s:s + batch_size]
-            batch = {k: v[sel] for k, v in data.items()}
+            batch = {k: v[sel] for k, v in data_dev.items()}
             key, dk = jax.random.split(key)
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, batch, y[sel], dk)
-            losses.append(float(loss))
+                params, batch_stats, opt_state, batch, y_dev[sel], dk)
+            losses.append(loss)
+        losses = list(np.asarray(jnp.stack(losses)))  # ONE fetch/epoch
         if len(va_idx):
             val_losses = []
             for s in range(0, len(va_idx), batch_size):
                 sel = va_idx[s:s + batch_size]
-                batch = {k: v[sel] for k, v in data.items()}
-                val_losses.append(float(eval_step(params, batch_stats,
-                                                  batch, y[sel])))
-            val_loss = float(np.mean(val_losses))
+                batch = {k: v[sel] for k, v in data_dev.items()}
+                val_losses.append(eval_step(params, batch_stats,
+                                            batch, y_dev[sel]))
+            val_loss = float(np.mean(np.asarray(jnp.stack(val_losses))))
         else:
             val_loss = float(np.mean(losses))
         history["train_loss"].append(float(np.mean(losses)))
