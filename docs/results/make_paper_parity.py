@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="reduced protocol (smoke scale, NOT the artifact)")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--settings", nargs="+",
+                    default=["incoherent", "coherent", "no_readout"],
+                    help="setting order — with a resume parts-dir, put the "
+                         "diagnostic setting first so a wall-clock-bounded "
+                         "run banks the most informative parts")
     ap.add_argument("--num-train", type=int, default=1500,
                     help="faithful-protocol train-set size (the reference's "
                          "own is 4500 = 300/step; 1500 reproduces the "
@@ -83,7 +88,8 @@ def main():
         kwargs.update(num_train=60, max_steps=10, num_test_steps=10,
                       mlp_epochs=50, gnn_epochs=100, num_twirls=4)
     t0 = time.time()
-    study = paper_parity_study(seeds=tuple(args.seeds),
+    study = paper_parity_study(settings=tuple(args.settings),
+                               seeds=tuple(args.seeds),
                                parts_dir=args.parts_dir or None, **kwargs)
     study["run_info"] = {"fast": bool(args.fast),
                          "wall_seconds": round(time.time() - t0, 1),

@@ -167,6 +167,18 @@ def single_ising_parity(setting: str = "incoherent",
     if protocol not in ("faithful", "v2"):
         raise ValueError(f"unknown protocol {protocol!r}")
     faithful = protocol == "faithful"
+
+    import sys as _sys
+    import time as _time
+    _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        # per-phase wall prints: the artifact run is hours-scale, and an
+        # opaque 50-minute unit is undebuggable over a flaky TPU tunnel
+        print(f"[parity {setting} s{seed}] {phase}: "
+              f"{_time.time() - _t0:.0f}s total", file=_sys.stderr,
+              flush=True)
+
     device = device or get_device("fake_lima")
     nm, noise_scale = _experiment_noise(setting, device, noise_scale,
                                         noise_seed, protocol=protocol,
@@ -190,6 +202,7 @@ def single_ising_parity(setting: str = "incoherent",
                               shots=shots, seed=seed)
         test = ising_step_sweep(device, ops, num_test_steps, noise=nm,
                                 shots=shots, seed=seed + 1)
+    _mark("datagen")
     Xtr, ytr = encode_dataset(train, device)
     Xte, yte = encode_dataset(test, device)
 
@@ -204,6 +217,7 @@ def single_ising_parity(setting: str = "incoherent",
             rf.fit(Xtr, ytr[:, q])
             pred[:, q] = rf.predict(Xte)
         ours["random_forest"] = float(rmse(pred, yte))
+        _mark("rf")
     else:
         rf = RandomForestRegressor(n_estimators=300, random_state=seed)
         rf.fit(Xtr, ytr)
@@ -219,6 +233,7 @@ def single_ising_parity(setting: str = "incoherent",
                              batch_size=32, learning_rate=3e-3, seed=seed)
     ours["mlp"] = float(rmse(predict(mlp, variables, mlp_inputs,
                                      {"X": Xte}), yte))
+    _mark("mlp")
 
     # GNN arm (ref gnn.py:178-224): graph-encode train+test together so
     # padded node/edge widths match, train on the train block, eval on test
@@ -254,6 +269,7 @@ def single_ising_parity(setting: str = "incoherent",
     gpred = predict(gnn, gvars, gnn_inputs,
                     {k: v[n_tr:] for k, v in gall.items()})
     ours["gnn"] = float(rmse(gpred, yte))
+    _mark("gnn")
 
     if run_zne:
         zne_vals = zne_batch(test, device, noise=nm, shots=shots,
@@ -262,6 +278,7 @@ def single_ising_parity(setting: str = "incoherent",
         plain = zne_batch(test, device, noise=nm, shots=shots,
                           seed=seed + 2, num_twirls=0)
         ours["zne_untwirled"] = float(rmse(plain, test.ideal))
+        _mark("zne")
 
     pub = PUBLISHED[setting]
     out = {
