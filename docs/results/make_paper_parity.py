@@ -51,6 +51,11 @@ def main():
                          "published improvement factors at a third of the "
                          "datagen/RF cost and is recorded in run_info)")
     ap.add_argument("--gnn-epochs", type=int, default=400)
+    ap.add_argument("--redo-arms", nargs="+", default=None,
+                    choices=["random_forest", "ols", "mlp", "gnn", "zne"],
+                    help="re-run just these arms inside every CACHED part "
+                         "and rewrite it (surgical one-arm fix; seeded "
+                         "datasets keep the other arms exact)")
     ap.add_argument("--parts-dir", default=_os.path.join(
         RESULTS_DIR, "parts"),
         help="per-(setting, seed) resume cache; '' disables")
@@ -90,7 +95,8 @@ def main():
     t0 = time.time()
     study = paper_parity_study(settings=tuple(args.settings),
                                seeds=tuple(args.seeds),
-                               parts_dir=args.parts_dir or None, **kwargs)
+                               parts_dir=args.parts_dir or None,
+                               redo_arms=args.redo_arms or None, **kwargs)
     study["run_info"] = {"fast": bool(args.fast),
                          "wall_seconds": round(time.time() - t0, 1),
                          **kwargs}
