@@ -106,7 +106,8 @@ def main():
 
     from mlqem_tpu.workflows.figures import figure_paper_parity
 
-    table = {s: {"ours": v["ours_mean"], "published": v["published"]}
+    table = {s: {"ours": v["ours_mean"], "published": v["published"],
+                 "ours_std": v["ours_std"]}
              for s, v in study["settings"].items()}
     png = _os.path.join(RESULTS_DIR, "paper_parity_figure.png")
     figure_paper_parity(table, save_path=png)

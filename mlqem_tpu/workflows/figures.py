@@ -116,7 +116,9 @@ def figure_paper_parity(table: Dict[str, Dict],
     single-Ising figure's table, ``paper_figures/*_single_ising.pk``).
 
     ``table``: {setting: {"ours": {...}, "published": {...}}} as produced
-    by :func:`mlqem_tpu.workflows.paper_parity.single_ising_parity`.
+    by :func:`mlqem_tpu.workflows.paper_parity.single_ising_parity`; an
+    optional per-setting ``"ours_std"`` dict (the v3 artifact's per-seed
+    spread) draws error whiskers on the ours bars.
     """
     plt = _plt()
     settings = list(table)
@@ -128,8 +130,11 @@ def figure_paper_parity(table: Dict[str, Dict],
     for ax, s in zip(axes, settings):
         ours = [table[s]["ours"].get(m, np.nan) for m in models]
         pub = [table[s]["published"].get(m, np.nan) for m in models]
+        std = table[s].get("ours_std")
+        yerr = [std.get(m, 0.0) for m in models] if std else None
         x = np.arange(len(models))
-        ax.bar(x - 0.2, ours, width=0.4, label="ours (simulated)")
+        ax.bar(x - 0.2, ours, width=0.4, label="ours (simulated)",
+               yerr=yerr, capsize=3 if yerr else 0)
         ax.bar(x + 0.2, pub, width=0.4, label="published (hardware)")
         ax.set_xticks(x)
         ax.set_xticklabels(models, rotation=30, ha="right")

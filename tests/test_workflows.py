@@ -318,6 +318,36 @@ def test_single_ising_parity_smoke():
     assert np.isfinite(out["ours"]["gnn"])
 
 
+def test_paper_parity_redo_arms(tmp_path):
+    """paper_parity_study(redo_arms=...) patches ONE arm inside a cached
+    part over the same seeded datasets and leaves the others bit-equal —
+    the surgical-repair path an hours-scale artifact depends on. Also
+    guards the determinism check: a config drift (different noise scale)
+    must refuse to patch."""
+    from mlqem_tpu.workflows.paper_parity import paper_parity_study
+
+    kwargs = dict(settings=("incoherent",), seeds=(0,), protocol="v2",
+                  num_train=40, max_steps=10, num_test_steps=10,
+                  mlp_epochs=5, gnn_epochs=2, run_zne=False,
+                  parts_dir=str(tmp_path))
+    full = paper_parity_study(**kwargs)
+    base = full["settings"]["incoherent"]["per_seed"][0]["ours"]
+
+    redone = paper_parity_study(redo_arms=["mlp"], **kwargs)
+    patched = redone["settings"]["incoherent"]["per_seed"][0]["ours"]
+    assert patched["mlp"] == base["mlp"]  # seeded => bit-equal re-run
+    for k in ("noisy", "random_forest", "ols", "gnn"):
+        assert patched[k] == base[k], k
+    import json
+    part = json.load(open(tmp_path / "v2_incoherent_s0.json"))
+    assert part["improvement_ours"]["mlp"] == pytest.approx(
+        patched["noisy"] / patched["mlp"])
+
+    with pytest.raises(RuntimeError, match="noisy mismatch"):
+        paper_parity_study(redo_arms=["mlp"],
+                           **{**kwargs, "noise_scale": 8.0})
+
+
 def test_single_ising_parity_faithful_smoke():
     """The faithful protocol end-to-end at smoke scale: routed/lowered
     5q circuits with the init prefix, per-qubit RF list, shot-sampled
