@@ -134,6 +134,10 @@ class KickedIsingEngine:
     noise_model: Optional[NoiseModel] = None
     # None → auto (Pallas fused kernel on TPU, XLA butterflies elsewhere)
     use_pallas: Optional[bool] = None
+    # MXU precision of the in-kernel WHT matmuls: "f32" (Mosaic f32 dot),
+    # "bf16_hilo" (hi+lo split vs the ±1 Hadamard — f32-rounding-level
+    # accuracy at bf16 MXU rate), "bf16" (lossy speed ceiling)
+    wht_mode: str = "f32"
     # ZNE noise amplification: each CX channel applied noise_scale times
     # (= local 2q folding at this noise factor). Composition of Pauli
     # channels is f^k in the Walsh domain — computed analytically.
@@ -287,7 +291,7 @@ class KickedIsingEngine:
             re, im, kick_flat, bond_flat,
             theta_j_bt[:, None].astype(jnp.float32),
             jnp.asarray(self._bit_pm.T), jnp.asarray(self._bond_par.T),
-            float(theta_h), S, nq, nb)
+            float(theta_h), S, nq, nb, wht_mode=self.wht_mode)
         return re * re + im * im
 
     def _evolve(self, theta_h, theta_j_bt, kick_signs, bond_signs):

@@ -67,6 +67,40 @@ def test_evolve_fused_matches_xla(rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_evolve_fused_wht_modes(rng):
+    """bf16_hilo (exact hi+lo split vs the ±1 Hadamard) stays at f32-level
+    accuracy; plain bf16 only holds a loose tolerance (speed-ceiling probe,
+    not a labeled-data path)."""
+    nq, rows, steps = 8, 8, 4
+    dim = 2 ** nq
+    even, odd = _bonds(nq)
+    bonds = even + odd
+    nb = len(bonds)
+    j = np.arange(dim)
+    bits = ((j[:, None] >> np.arange(nq)[None, :]) & 1).astype(np.float32)
+    bit_pm = 2 * bits - 1
+    bond_par = np.stack([bit_pm[:, a] * bit_pm[:, b] for a, b in bonds], 1)
+    kick = rng.choice([-1., 1.], size=(rows, steps * nq)).astype(np.float32)
+    bond = rng.choice([-1., 1.], size=(rows, steps * nb)).astype(np.float32)
+    re0 = jnp.zeros((rows, dim), jnp.float32).at[:, 0].set(1.0)
+    im0 = jnp.zeros((rows, dim), jnp.float32)
+    tj = jnp.full((rows, 1), -0.22, jnp.float32)
+    args = (jnp.asarray(kick), jnp.asarray(bond), tj,
+            jnp.asarray(bit_pm.T), jnp.asarray(bond_par.T), 0.5, steps,
+            nq, nb)
+    out = {m: evolve_fused(re0, im0, *args, interpret=True, wht_mode=m)
+           for m in ("f32", "bf16_hilo", "bf16")}
+    for plane in (0, 1):
+        np.testing.assert_allclose(np.asarray(out["bf16_hilo"][plane]),
+                                   np.asarray(out["f32"][plane]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["bf16"][plane]),
+                                   np.asarray(out["f32"][plane]), atol=3e-2)
+    # unit norm preserved by the exact variant
+    n = (np.asarray(out["bf16_hilo"][0]) ** 2
+         + np.asarray(out["bf16_hilo"][1]) ** 2).sum(axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+
 def test_engine_pallas_flag_matches_xla(rng):
     """The engine's Pallas path (interpret) equals the XLA butterfly path."""
     from mlqem_tpu.device.registry import get_device
