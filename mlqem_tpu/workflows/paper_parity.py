@@ -342,7 +342,11 @@ def _gnn_arm(train, test, device, yte, faithful: bool, gnn_train_max: int,
         num_epochs=gnn_epochs, batch_size=32, learning_rate=2e-3, seed=seed)
     gpred = predict(gnn, gvars, gnn_inputs,
                     {k: v[n_tr:] for k, v in gall.items()})
-    return float(rmse(gpred, yte)), n_tr
+    # [-1, 1] clip: the physical bound on an expectation value — same
+    # guard the MLP arm carries (half the faithful test sweep is depth
+    # EXTRAPOLATION past the trained steps, where an unbounded head can
+    # wander; clipping toward the feasible set never hurts RMSE here)
+    return float(rmse(np.clip(gpred, -1.0, 1.0), yte)), n_tr
 
 
 def noisy_rmse_at_scale(setting: str, scale: float,
