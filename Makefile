@@ -11,7 +11,7 @@
 
 PY ?= python
 
-.PHONY: verify verify-fast suite schemas bench multichip
+.PHONY: verify verify-fast suite schemas bench multichip bank
 
 verify: suite schemas bench multichip
 	@echo "== verify: ALL GREEN =="
@@ -33,3 +33,10 @@ bench:
 
 multichip:
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('multichip ok')"
+
+# Commit every expensive result part the moment it exists — these are
+# ~45-TPU-minute files; run this after (or during) any artifact
+# regeneration so a crash or `git clean` can't lose banked work.
+bank:
+	git add docs/results/parts docs/results/*.json docs/results/*.png
+	git diff --cached --quiet || git commit -m "Bank result parts/artifacts"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -299,6 +300,13 @@ class KickedIsingEngine:
         if self._use_pallas():
             return self._evolve_pallas(theta_h, theta_j_bt, kick_signs,
                                        bond_signs)
+        if self.wht_mode != "f32":
+            # wht_mode drives the in-kernel matmul precision; the XLA
+            # butterfly fallback has no equivalent knob, so an engine
+            # configured for bf16 would silently run f32 here.
+            warnings.warn(
+                f"wht_mode={self.wht_mode!r} only affects the Pallas "
+                f"kernel; the XLA butterfly path runs f32", stacklevel=2)
         nq = self.nq
         dim = 2 ** nq
         BT = theta_j_bt.shape[0]

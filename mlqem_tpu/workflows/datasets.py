@@ -98,8 +98,9 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
     at the global op padding, then sliced): the axon TPU worker crashes on
     programs past ~650k op-slots (the monolithic B=1500 train batch, the
     480×3051 folded ZNE batch), and chunking also bounds HBM at any batch
-    size.  Chunk sampling keys are ``fold_in(seed, chunk)`` so values
-    differ from the unchunked path only above the threshold.
+    size.  Chunk sampling keys are ``seed + 7·chunk_index`` (chunk 0
+    reproduces the unchunked path exactly; see the stride note at the
+    call site below).
     """
     import jax
     import jax.numpy as jnp
@@ -151,6 +152,15 @@ def _zq_labels(circuits: Sequence[Circuit], device: DeviceModel,
         sl = slice(c0, min(c0 + chunk, B))
         ct_c = CircuitTensor(ct.gate_ids[sl], ct.qubits[sl],
                              ct.params[sl], nq)
+        # Chunk key = seed + 7·chunk_index. The stride-7 scheme is load-
+        # bearing for statistical independence across the OTHER seed
+        # consumers in this module: dataset builders use seed, seed+1,
+        # seed+2 (train/test/basis offsets) and the sampled-ideal arm uses
+        # chunk_seed+7919 (prime, not a multiple of 7 plus a small offset
+        # in any realistic chunk count), so chunk keys never collide with
+        # them for chunk_index ≥ 1 and B ≤ ~10^5 circuits. Frozen: the
+        # banked parity parts and redo_arms' determinism guard reproduce
+        # cached noisy values bit-for-bit under this exact derivation.
         i_c, n_c = eval_chunk(ct_c, keys[sl], seed + 7 * (c0 // chunk))
         ideal_parts.append(i_c)
         noisy_parts.append(n_c)

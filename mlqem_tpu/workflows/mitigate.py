@@ -207,13 +207,15 @@ def zne_batch(ds: LabeledDataset, device: DeviceModel,
     _, noisy = _zq_labels(folded, device, nm, shots, seed,
                           ideal=False)
     nq = ds.ideal.shape[1]
-    if noisy.shape[1] != nq:
-        # routed circuits are device-width: read the logical qubits
-        # through each circuit's final layout (folding/twirling preserve
-        # metadata, so the layout survives amplification)
-        from .datasets import _select_logical
+    # Read logical qubits through each circuit's final layout
+    # (folding/twirling preserve metadata, so the layout survives
+    # amplification). Unconditional: routing can permute qubits even when
+    # the physical width equals the logical width, so a width check would
+    # silently read physical columns as logical ones; _select_logical is
+    # the identity for circuits without a final_layout.
+    from .datasets import _select_logical
 
-        noisy = _select_logical(noisy, folded, nq)
+    noisy = _select_logical(noisy, folded, nq)
     # twirl-average, then extrapolate (demo1's reshape(...).mean(-1) step)
     vals = noisy.reshape(len(ds.circuits), len(nfs), n_tw, nq).mean(axis=2)
     out = np.empty((len(ds.circuits), nq))

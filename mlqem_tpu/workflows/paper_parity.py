@@ -51,6 +51,17 @@ PUBLISHED = {
 _SETTING_MAP = {"incoherent": "device", "coherent": "coherent",
                 "no_readout": "no_readout"}
 
+# Provenance stamp written into every single_ising_parity result (and
+# therefore every resume part). Bump whenever ANY arm's definition changes
+# so a stale cached part cannot silently fold into a regenerated artifact
+# — paper_parity_study refuses mismatched parts unless redo_arms covers
+# the change. History:
+#   1 — pre-4cc436f arms (faithful MLP at lr 3e-3: the depth-extrapolation
+#       blowup, RMSE ~0.9 on some seeds)
+#   2 — faithful MLP lr 3e-4 + [-1,1] clip; GNN [-1,1] clip; per-qubit
+#       RF(300); v2 MLP pinned back to lr 3e-3
+ARMS_VERSION = 2
+
 # Global channel-strength multipliers fitted by calibrate_noise_scale()
 # (docs/results/make_paper_parity.py --calibrate) so the NOISY arm of the
 # default parity protocol reproduces the published noisy RMSE per setting.
@@ -251,16 +262,19 @@ def single_ising_parity(setting: str = "incoherent",
     from ..models.train import mlp_inputs, predict, train_mlp
 
     if "mlp" in arms:
-        # lr 3e-4: half the faithful test sweep is depth EXTRAPOLATION
-        # (train steps 0-14, test 0-29) — at lr>=1e-3 the MLP fits the
-        # in-range region sharply (val 0.007) and its ReLU features
-        # extrapolate wildly at the unseen depths (test RMSE 0.94 at
-        # num_train=1500, lr 3e-3); 3e-4 lands the published behavior
+        # Faithful: lr 3e-4 — half the faithful test sweep is depth
+        # EXTRAPOLATION (train steps 0-14, test 0-29); at lr>=1e-3 the MLP
+        # fits the in-range region sharply (val 0.007) and its ReLU
+        # features extrapolate wildly at the unseen depths (test RMSE 0.94
+        # at num_train=1500, lr 3e-3); 3e-4 lands the published behavior
         # exactly (coherent test RMSE 0.265 vs published 0.266). The
         # [-1, 1] clip is the physical bound on any expectation value.
+        # v2 keeps its original lr 3e-3 (interpolation protocol; the r2/r3
+        # baselines were measured there and must stay reproducible).
         mlp = MLP1(hidden_size=64, output_size=4)
         variables, _ = train_mlp(mlp, Xtr, ytr, num_epochs=mlp_epochs,
-                                 batch_size=32, learning_rate=3e-4,
+                                 batch_size=32,
+                                 learning_rate=3e-4 if faithful else 3e-3,
                                  seed=seed)
         mpred = np.clip(predict(mlp, variables, mlp_inputs, {"X": Xte}),
                         -1.0, 1.0)
@@ -285,6 +299,7 @@ def single_ising_parity(setting: str = "incoherent",
     out = {
         "setting": setting,
         "protocol": protocol,
+        "arms_version": ARMS_VERSION,
         "num_train": num_train,
         "noise_scale": noise_scale,
         "num_twirls": num_twirls,
@@ -500,6 +515,16 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
             if part and os.path.exists(part):
                 with open(part) as f:
                     run = json.load(f)
+                ver = run.get("arms_version")
+                if ver != ARMS_VERSION and not redo_arms:
+                    # refuse to fold a stale-arm part into the artifact —
+                    # the operator must either redo the changed arms
+                    # (rewrites the part with the current stamp) or delete
+                    # the part for a full re-run (ADVICE r4)
+                    raise RuntimeError(
+                        f"cached part {part} has arms_version {ver}, code "
+                        f"is {ARMS_VERSION} — pass redo_arms for the "
+                        f"changed arms or delete the part")
                 if redo_arms:
                     patch = single_ising_parity(setting, seed=s,
                                                 arms=redo_arms, **kwargs)
@@ -520,6 +545,7 @@ def paper_parity_study(settings: Sequence[str] = ("incoherent", "coherent",
                         for k, v in run["ours"].items() if k != "noisy"}
                     if "gnn_train_count" in patch:
                         run["gnn_train_count"] = patch["gnn_train_count"]
+                    run["arms_version"] = patch["arms_version"]
                     with open(part, "w") as f:
                         json.dump(run, f)
                     print(f"[paper_parity] {setting} seed={s}: redo "
