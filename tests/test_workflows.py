@@ -195,21 +195,6 @@ def test_paper_parity_schema():
                         "paper_parity_table.json")
     with open(path) as f:
         t = json.load(f)
-    if t["schema"] == "paper_parity/v2":
-        # the pre-faithful-protocol artifact is still in-tree (its v3
-        # regeneration is an hours-scale TPU run): hold it to the r3/v2
-        # bands so a broken artifact still fails, and surface the pending
-        # upgrade as a SKIP instead of a red suite
-        assert len(t["seeds"]) >= 3
-        inc = t["settings"]["incoherent"]["improvement_ours"]
-        assert inc["random_forest"] >= 2.0 and inc["zne"] >= 1.1, inc
-        coh = t["settings"]["coherent"]["improvement_ours"]
-        assert coh["zne"] >= 1.2, coh
-        assert coh["zne"] > coh["zne_untwirled"], coh
-        nor = t["settings"]["no_readout"]["improvement_ours"]
-        assert nor["random_forest"] >= 1.8 and nor["zne"] >= 1.1, nor
-        pytest.skip("parity artifact is schema v2; faithful-protocol v3 "
-                    "regeneration pending (make_paper_parity.py)")
     assert t["schema"] == "paper_parity/v3"
     assert t["protocol"] == "faithful"
     assert len(t["seeds"]) >= 3
@@ -252,7 +237,12 @@ def test_paper_parity_schema():
     # ~35% of the published factors, not the 3x of an easy regime
     coh = t["settings"]["coherent"]["improvement_ours"]
     pub = t["settings"]["coherent"]["improvement_published"]
-    for m in ("random_forest", "ols"):
+    # mlp/gnn added to the band per VERDICT r4 #5: the published coherent
+    # table has GNN 1.103x / MLP 1.008x; ours lands MLP 1.02x and GNN 0.90x
+    # (slightly hurts — documented negative result, see
+    # docs/results/COHERENT_GNN.md) — both inside the +-35% band, and the
+    # band fails a regenerated artifact whose GNN collapses further
+    for m in ("random_forest", "ols", "mlp", "gnn"):
         rel = abs(coh[m] - pub[m]) / pub[m]
         assert rel < 0.35, (m, coh[m], pub[m])
     # twirl->fold->extrapolate must not LOSE to plain folding under
