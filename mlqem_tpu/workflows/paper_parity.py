@@ -322,10 +322,11 @@ def single_ising_parity(setting: str = "incoherent",
 
 
 def _gnn_arm(train, test, device, yte, faithful: bool, gnn_train_max: int,
-             gnn_epochs: int, seed: int):
+             gnn_epochs: int, seed: int, return_pred: bool = False):
     """GNN arm (ref gnn.py:178-224): graph-encode train+test together so
     padded node/edge widths match, train on the train block, eval on
-    test. Returns (rmse, gnn_train_count)."""
+    test. Returns (rmse, gnn_train_count), plus the clipped test
+    predictions when ``return_pred`` (per-step diagnostics)."""
     from ..models.gnn import ExpValCircuitGraphModel3
     from ..models.train import gnn_inputs, predict, train_gnn
     from .datasets import LabeledDataset
@@ -361,7 +362,10 @@ def _gnn_arm(train, test, device, yte, faithful: bool, gnn_train_max: int,
     # guard the MLP arm carries (half the faithful test sweep is depth
     # EXTRAPOLATION past the trained steps, where an unbounded head can
     # wander; clipping toward the feasible set never hurts RMSE here)
-    return float(rmse(np.clip(gpred, -1.0, 1.0), yte)), n_tr
+    gpred = np.clip(gpred, -1.0, 1.0)
+    if return_pred:
+        return float(rmse(gpred, yte)), n_tr, gpred
+    return float(rmse(gpred, yte)), n_tr
 
 
 def noisy_rmse_at_scale(setting: str, scale: float,
