@@ -139,6 +139,10 @@ class KickedIsingEngine:
     # "bf16_hilo" (hi+lo split vs the ±1 Hadamard — f32-rounding-level
     # accuracy at bf16 MXU rate), "bf16" (lossy speed ceiling)
     wht_mode: str = "f32"
+    # Pallas kernel row-block size. 512 measured bit-identical to 256 and
+    # ~4x faster at the raw-kernel level on v5e (f32 Mosaic dot at M=256
+    # hits a slow path; see docs/perf/probe_kicked_wht.py)
+    block_rows: int = 512
     # ZNE noise amplification: each CX channel applied noise_scale times
     # (= local 2q folding at this noise factor). Composition of Pauli
     # channels is f^k in the Walsh domain — computed analytically.
@@ -292,7 +296,8 @@ class KickedIsingEngine:
             re, im, kick_flat, bond_flat,
             theta_j_bt[:, None].astype(jnp.float32),
             jnp.asarray(self._bit_pm.T), jnp.asarray(self._bond_par.T),
-            float(theta_h), S, nq, nb, wht_mode=self.wht_mode)
+            float(theta_h), S, nq, nb, block_rows=self.block_rows,
+            wht_mode=self.wht_mode)
         return re * re + im * im
 
     def _evolve(self, theta_h, theta_j_bt, kick_signs, bond_signs):
