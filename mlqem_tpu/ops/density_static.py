@@ -81,6 +81,41 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
     return out.reshape(batch + (dim, dim))
 
 
+def _run_carry(pairs, s16_per_op, B: int, n: int, dtype) -> jnp.ndarray:
+    """Permutation-carrying superop sweep: ONE transpose per op.
+
+    The "transpose" variant pays transpose-in + matmul + transpose-back
+    per op (~3 full-dm memory passes). Since the op sequence is static,
+    the inverse transpose can instead be composed into the NEXT op's
+    forward transpose: the dm lives as a [B] + (2,)*(2n) bit-axis array
+    whose current axis order is tracked host-side, and each op emits a
+    single transpose from the previous op's layout to its own, followed
+    by the dense [16, dim²/16] matmul. One inverse transpose at the end
+    restores the canonical [B, dim, dim]. Bit-identical to the other
+    variants (same contraction, same f32 accumulation order per op).
+    """
+    # logical axis id = canonical position: row bit of qubit q sits at
+    # n-1-q (qubit 0 = LSB), col bit of q at 2n-1-q
+    dim = 2 ** n
+    x = jnp.zeros((B, dim * dim), dtype).at[:, 0].set(1.0)
+    x = x.reshape((B,) + (2,) * (2 * n))
+    order = list(range(2 * n))
+    for (a, b), s16 in zip(pairs, s16_per_op):
+        lo, hi = (a, b) if a < b else (b, a)
+        targets = [n - 1 - hi, n - 1 - lo, 2 * n - 1 - hi, 2 * n - 1 - lo]
+        rest = [i for i in order if i not in targets]
+        pos = {axid: p for p, axid in enumerate(order)}
+        x = jnp.transpose(x, [0] + [1 + pos[t] for t in targets]
+                          + [1 + pos[r] for r in rest])
+        order = targets + rest
+        x16 = x.reshape(B, 16, (dim * dim) // 16)
+        x = jnp.einsum("bij,bjR->biR", s16, x16)
+        x = x.reshape((B,) + (2,) * (2 * n))
+    pos = {axid: p for p, axid in enumerate(order)}
+    x = jnp.transpose(x, [0] + [1 + pos[i] for i in range(2 * n)])
+    return x.reshape(B, dim, dim)
+
+
 def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                        key_ids: np.ndarray, noise_table: np.ndarray,
                        dtype=COMPLEX_DTYPE,
@@ -89,13 +124,13 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
 
     key_ids/noise_table as produced by ``compile_noise_table`` on the
     template (shared across the batch). Returns dm [B, 2^n, 2^n].
-    ``variant=None`` picks per platform: "transpose" on TPU (dense-lane
-    matmul form), "einsum" elsewhere.
+    ``variant=None`` picks per platform: "transpose_carry" on TPU
+    (dense-lane matmul form, one transpose per op), "einsum" elsewhere.
     """
     if variant is None:
         from ..utils.platform import on_tpu
 
-        variant = "transpose" if on_tpu() else "einsum"
+        variant = "transpose_carry" if on_tpu() else "einsum"
     n = max(ct_struct.num_qubits, 2)
     pairs = static_pairs(ct_struct)
     keys = np.asarray(key_ids).reshape(-1)
@@ -104,6 +139,22 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
     gate_ids = jnp.asarray(ct_struct.gate_ids)
     mats = jax.vmap(lambda p: op_unitaries(gate_ids, p, dtype))(params)
     dim = 2 ** n
+
+    def op_s16(l, a, b):
+        u = mats[:, l]                                   # [B, 4, 4]
+        s_gate = jnp.einsum("bpa,bqc->bpqac", u,
+                            jnp.conj(u)).reshape(B, 16, 16)
+        s_noise = jnp.asarray(table[keys[l]])            # [16, 16] const
+        s16 = jnp.einsum("ij,bjk->bik", s_noise, s_gate)
+        if a < b:  # (a, b) ordering flip — same perm the per-op paths use
+            perm = jnp.asarray(_perm_16(True))
+            s16 = s16[..., perm, :][..., :, perm]
+        return s16
+
+    if variant == "transpose_carry":
+        s16s = [op_s16(l, a, b) for l, (a, b) in enumerate(pairs)]
+        return _run_carry(pairs, s16s, B, n, dtype)
+
     dm = jnp.zeros((B, dim, dim), dtype).at[:, 0, 0].set(1.0)
     for l, (a, b) in enumerate(pairs):
         u = mats[:, l]                                   # [B, 4, 4]

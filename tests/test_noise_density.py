@@ -201,6 +201,37 @@ def test_channel_for_reversed_order_swaps_slots():
     np.testing.assert_allclose(rev.superop(), want.superop(), atol=1e-12)
 
 
+def test_density_static_variants_match_end_to_end():
+    """All three run_density_static variants (einsum / transpose /
+    transpose_carry) produce the same noisy density matrices on a real
+    template + calibration noise table."""
+    import jax.numpy as jnp
+
+    from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.ops.density_static import run_density_static
+    from mlqem_tpu.parallel.datagen import make_ising_template
+
+    nq = 3
+    dev = configurable_device(nq, seed=0)
+    nm = NoiseModel.from_device(dev)
+    template = make_ising_template(nq, 2, "Z", 0.25, h=1.0)
+    ct0 = template.bind_host(np.zeros(template.num_parameters, np.float32))
+    keys, table = compile_noise_table(ct0, nm)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(rng.uniform(
+        -1.0, 1.0, size=(4,) + ct0.params.shape).astype(np.float32))
+    outs = {v: np.asarray(run_density_static(ct0, params, keys, table,
+                                             variant=v))
+            for v in ("einsum", "transpose", "transpose_carry")}
+    np.testing.assert_allclose(outs["einsum"], outs["transpose"], atol=1e-6)
+    np.testing.assert_allclose(outs["einsum"], outs["transpose_carry"],
+                               atol=1e-6)
+    # physical: unit trace, Hermitian
+    tr = np.trace(outs["transpose_carry"], axis1=1, axis2=2)
+    np.testing.assert_allclose(tr, 1.0, atol=1e-5)
+
+
 def test_superop_transpose_variant_matches_einsum():
     """The TPU lane-dense transpose form of the static superop application
     is bit-identical to the einsum form for every (a, b) ordering."""
