@@ -29,9 +29,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4,
                     help="Trotter steps per circuit (~40 ops/step at 10q)")
     ap.add_argument("--batch", type=int, default=None,
-                help="default: 16384 for kicked (HBM sweet spot), 1024 for "
-                     "density_matrix (the 10q superop needs ~4.3GB per "
-                     "[B, 4^nq] buffer — 8192 OOMs 16GB HBM), 8192 otherwise")
+                help="default: 16384 for kicked (HBM sweet spot), 512 for "
+                     "density_matrix (the 10q superop holds [B, 4^nq] "
+                     "complex planes — 1024 peaks at 18.7GB vs 15.75GB "
+                     "usable on the v5e), 8192 otherwise")
     ap.add_argument("--shots", type=int, default=10000)
     ap.add_argument("--method", default="kicked",
                     choices=["kicked", "trajectory", "trajectory_gather", "frame",
@@ -45,7 +46,7 @@ def main():
                     help="steady-state measurement window")
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = {"kicked": 16384, "density_matrix": 1024}.get(
+        args.batch = {"kicked": 16384, "density_matrix": 512}.get(
             args.method, 8192)
 
     import jax

@@ -66,7 +66,7 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
         return new.reshape(batch + (dim, dim))
     if variant != "transpose":
         raise ValueError(f"unknown superop variant {variant!r} "
-                         "(einsum | transpose)")
+                         "(einsum | transpose | transpose_carry)")
     nb = len(batch)
     o = nb
     # [batch, rowhi, rowlo, colhi, collo, H, M, L, H, M, L]
@@ -93,6 +93,11 @@ def _run_carry(pairs, s16_per_op, B: int, n: int, dtype) -> jnp.ndarray:
     by the dense [16, dim²/16] matmul. One inverse transpose at the end
     restores the canonical [B, dim, dim]. Bit-identical to the other
     variants (same contraction, same f32 accumulation order per op).
+
+    Measured on the v5e this is a NEGATIVE result: 8% slower than
+    "transpose" (14.03 s vs 12.98 s per 512-circuit bench batch) — XLA
+    fuses the transpose round-trip anyway and the carried layouts tile
+    worse. Kept as an equality-tested variant, not the default.
     """
     # logical axis id = canonical position: row bit of qubit q sits at
     # n-1-q (qubit 0 = LSB), col bit of q at 2n-1-q
@@ -124,13 +129,18 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
 
     key_ids/noise_table as produced by ``compile_noise_table`` on the
     template (shared across the batch). Returns dm [B, 2^n, 2^n].
-    ``variant=None`` picks per platform: "transpose_carry" on TPU
-    (dense-lane matmul form, one transpose per op), "einsum" elsewhere.
+    ``variant=None`` picks per platform: "transpose" on TPU (dense-lane
+    matmul form), "einsum" elsewhere. "transpose_carry" (one transpose
+    per op instead of two) is a measured NEGATIVE result on the v5e:
+    14.03 s vs 12.98 s per 512-circuit batch at the bench config,
+    bit-identical output — XLA already fuses each op's back-transpose
+    into the next op's forward transpose, and the carried bit-axis
+    layouts tile worse than the canonical [B, dim, dim] round-trip.
     """
     if variant is None:
         from ..utils.platform import on_tpu
 
-        variant = "transpose_carry" if on_tpu() else "einsum"
+        variant = "transpose" if on_tpu() else "einsum"
     n = max(ct_struct.num_qubits, 2)
     pairs = static_pairs(ct_struct)
     keys = np.asarray(key_ids).reshape(-1)
