@@ -308,6 +308,64 @@ def test_single_ising_parity_smoke():
     assert np.isfinite(out["ours"]["gnn"])
 
 
+def test_faithful_protocol_regime_pins(monkeypatch):
+    """Pin the faithful protocol's EXTRAPOLATION regime and per-protocol
+    MLP hyperparameters (VERDICT r4 weak #5: the MLP depth-extrapolation
+    blowup was fixed by lr 3e-4 + the [-1,1] clip, and nothing pinned the
+    regime itself). The dataset builders are wrapped to record what the
+    protocol REQUESTS (train steps 0-14, test sweep to step 29, routing +
+    init prefix + shot-sampled ideal labels) while shrinking the actual
+    compute to smoke size; train_mlp is wrapped to capture the lr the
+    protocol selects (faithful 3e-4, v2 3e-3 — the r2/r3 baselines)."""
+    import mlqem_tpu.models.train as mtrain
+    import mlqem_tpu.workflows.paper_parity as pp
+
+    rec = {"sweeps": [], "lrs": []}
+    real_ds, real_sweep = pp.ising_dataset, pp.ising_step_sweep
+    real_train_mlp = mtrain.train_mlp
+
+    def ds(device, **k):
+        rec["train_kwargs"] = dict(k)
+        k["num_circuits"] = 6
+        return real_ds(device, **k)
+
+    def sweep(device, ops, num_steps, **k):
+        rec["sweeps"].append((num_steps, dict(k)))
+        return real_sweep(device, ops, min(num_steps, 3), **k)
+
+    def train_mlp(*a, **k):
+        rec["lrs"].append(k.get("learning_rate"))
+        return real_train_mlp(*a, **k)
+
+    monkeypatch.setattr(pp, "ising_dataset", ds)
+    monkeypatch.setattr(pp, "ising_step_sweep", sweep)
+    monkeypatch.setattr(mtrain, "train_mlp", train_mlp)
+
+    pp.single_ising_parity("incoherent", protocol="faithful", num_train=6,
+                           shots=64, mlp_epochs=1, arms=("mlp",), seed=0)
+    tk = rec["train_kwargs"]
+    # train: random (J, basis, steps<=14) family, routed + lowered +
+    # init-prefixed, ideal labels SHOT-SAMPLED (QasmSimulator parity)
+    assert tk["steps_range"] == (0, 15)
+    assert tk["J_range"] == (0.0, 1.0)
+    assert set(tk["bases"]) == {"X", "Y", "Z"}
+    assert tk["route"] and tk["lower"] and tk["init_prefix"]
+    assert tk["ideal_shots"] == 64
+    # test: the fixed sweep extends to step 29 — half the sweep is depth
+    # EXTRAPOLATION past the training range's max step 14
+    sweep_steps, sweep_kwargs = rec["sweeps"][0]
+    assert sweep_steps == 29
+    assert sweep_steps > tk["steps_range"][1] - 1
+    assert sweep_kwargs["route"] and sweep_kwargs["lower"]
+    assert sweep_kwargs["init_prefix"] and sweep_kwargs["ideal_shots"] == 64
+    assert rec["lrs"] == [3e-4]
+
+    pp.single_ising_parity("incoherent", protocol="v2", num_train=6,
+                           max_steps=5, num_test_steps=3, shots=64,
+                           mlp_epochs=1, arms=("mlp",), seed=0)
+    assert rec["lrs"] == [3e-4, 3e-3]
+
+
 def test_paper_parity_redo_arms(tmp_path):
     """paper_parity_study(redo_arms=...) patches ONE arm inside a cached
     part over the same seeded datasets and leaves the others bit-equal —
