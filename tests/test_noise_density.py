@@ -232,6 +232,138 @@ def test_density_static_variants_match_end_to_end():
     np.testing.assert_allclose(tr, 1.0, atol=1e-5)
 
 
+def test_superop_fusion_matches_unfused():
+    """The exact superop-fusion plan (NOP skip + 1q absorption +
+    disjoint-commutation merge) reproduces the one-superop-per-slot path
+    on a calibrated Ising template, for every variant, and emits the
+    predicted op count (2q sandwiches merged, trailing 1q layer paired)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlqem_tpu.circuits.gates import GATE_NUM_QUBITS, GATE_NAMES
+    from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.ops.density_static import (fuse_superops,
+                                              run_density_static,
+                                              static_pairs)
+    from mlqem_tpu.ops.unitaries import op_unitaries
+    from mlqem_tpu.parallel.datagen import make_ising_template
+
+    nq, steps = 4, 2
+    dev = configurable_device(nq, seed=0)
+    nm = NoiseModel.from_device(dev)
+    template = make_ising_template(nq, steps, "Z", 0.25, h=1.0)
+    ct0 = template.bind_host(np.zeros(template.num_parameters, np.float32))
+    keys, table = compile_noise_table(ct0, nm)
+    rng = np.random.default_rng(7)
+    params = jnp.asarray(rng.uniform(
+        -1.0, 1.0, size=(3,) + ct0.params.shape).astype(np.float32))
+
+    base = np.asarray(run_density_static(ct0, params, keys, table,
+                                         variant="einsum", fuse=False))
+    for v in ("einsum", "transpose", "transpose_carry"):
+        fused = np.asarray(run_density_static(ct0, params, keys, table,
+                                              variant=v, fuse=True))
+        np.testing.assert_allclose(fused, base, atol=2e-6, err_msg=v)
+
+    # plan size: each lowered rzz (cx-rz-cx) merges to ONE superop, the
+    # leading rx layer absorbs into the first bond layer, the trailing rx
+    # layer pairs up -> bonds*steps + ceil(nq/2) emitted ops
+    gate_ids = np.asarray(ct0.gate_ids).reshape(-1)
+    mats = jax.vmap(lambda p: op_unitaries(
+        jnp.asarray(ct0.gate_ids), p))(params)
+    plan = fuse_superops(static_pairs(ct0), gate_ids,
+                         np.asarray(keys).reshape(-1),
+                         np.asarray(table, np.complex64), mats,
+                         3, nq, jnp.complex64)
+    # each lowered rzz costs ONE emitted superop; trailing-1q leftovers
+    # pair up and may merge backward into same-set bond ops, so the plan
+    # is at most bonds·steps + ceil(nq/2) (measured: exactly bonds·steps
+    # here — the trailing rx layer merges into the final bond layer)
+    n_slots = int((gate_ids != 0).sum())
+    bonds = nq - 1
+    assert len(plan) <= bonds * steps + (nq + 1) // 2, (len(plan), n_slots)
+    assert len(plan) <= n_slots // 2, (len(plan), n_slots)
+
+
+def test_superop_fusion_reversed_orientation_and_padding():
+    """Fusion merges same-set ops of OPPOSITE slot orientation (cx(0,1)
+    then cx(1,0)) and skips NOP padding slots, matching the unfused path."""
+    import jax.numpy as jnp
+
+    from mlqem_tpu.circuits.circuit import Circuit, tensorize
+    from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.ops.density_static import run_density_static
+
+    nq = 3
+    c = Circuit(nq)
+    c.h(0)
+    c.cx(0, 1)
+    c.rz(0.3, 1)
+    c.cx(1, 0)          # same set, reversed orientation
+    c.rx(0.7, 2)
+    c.cx(1, 2)
+    ct = tensorize(c, max_ops=12)   # pad with NOP slots
+    dev = configurable_device(nq, seed=0)
+    keys, table = compile_noise_table(ct, NoiseModel.from_device(dev))
+    params = jnp.asarray(np.broadcast_to(
+        np.asarray(ct.params, np.float32), (2,) + ct.params.shape))
+    base = np.asarray(run_density_static(ct, params, keys, table,
+                                         variant="einsum", fuse=False))
+    fused = np.asarray(run_density_static(ct, params, keys, table,
+                                          variant="einsum", fuse=True))
+    np.testing.assert_allclose(fused, base, atol=2e-6)
+    tr = np.trace(fused, axis1=1, axis2=2)
+    np.testing.assert_allclose(tr, 1.0, atol=1e-5)
+
+
+def test_superop_fusion_absorbs_noisy_1q_channels():
+    """A 1q gate carrying its own noise channel (S4 ⊗ I by construction)
+    absorbs exactly; an artificial NON-factoring table entry on a 1q slot
+    falls back to the emitted-op path instead of mis-absorbing."""
+    import jax.numpy as jnp
+
+    from mlqem_tpu.circuits.circuit import Circuit, tensorize
+    from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.ops.channels import depolarizing_channel
+    from mlqem_tpu.ops.density_static import run_density_static
+
+    nq = 2
+    c = Circuit(nq)
+    c.sx(0)
+    c.rz(0.4, 0)
+    c.cx(0, 1)
+    c.sx(1)
+    ct = tensorize(c)
+    dev = configurable_device(nq, seed=0)
+    nm = NoiseModel.from_device(dev)
+    nm.add_quantum_error(depolarizing_channel(0.02, 1), "sx", (0,))
+    nm.add_quantum_error(depolarizing_channel(0.03, 1), "sx", (1,))
+    keys, table = compile_noise_table(ct, nm)
+    assert np.asarray(keys).reshape(-1).astype(bool).sum() >= 3
+    params = jnp.asarray(np.asarray(ct.params, np.float32)[None])
+    base = np.asarray(run_density_static(ct, params, keys, table,
+                                         variant="einsum", fuse=False))
+    fused = np.asarray(run_density_static(ct, params, keys, table,
+                                          variant="einsum", fuse=True))
+    np.testing.assert_allclose(fused, base, atol=2e-6)
+
+    # corrupt a 1q slot's noise into a genuinely 2q channel: fusion must
+    # detect the non-factoring superop and keep the op emitted
+    table2 = np.array(table, np.complex64)
+    k_sx0 = int(np.asarray(keys).reshape(-1)[0])
+    table2[k_sx0] = np.asarray(
+        depolarizing_channel(0.05, 2).superop(), np.complex64)
+    base2 = np.asarray(run_density_static(ct, params, keys, table2,
+                                          variant="einsum", fuse=False))
+    fused2 = np.asarray(run_density_static(ct, params, keys, table2,
+                                           variant="einsum", fuse=True))
+    np.testing.assert_allclose(fused2, base2, atol=2e-6)
+    assert not np.allclose(base2, base, atol=1e-4)  # the corruption bites
+
+
 def test_superop_transpose_variant_matches_einsum():
     """The TPU lane-dense transpose form of the static superop application
     is bit-identical to the einsum form for every (a, b) ordering."""
