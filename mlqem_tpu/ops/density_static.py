@@ -22,6 +22,13 @@ from .unitaries import COMPLEX_DTYPE, op_unitaries
 
 _PERM_SWAP = np.array([0, 2, 1, 3])
 
+# The exactness engine pins true-f32 contractions: JAX's DEFAULT matmul
+# precision on TPU computes f32 dots in bf16 passes (~1e-3 relative),
+# which is fine for the throughput engines but not for the path whose
+# whole job is exact labels. HIGHEST is a no-op on CPU, and on TPU the
+# dm path is transpose-bound, not matmul-bound, so the cost is small.
+_PREC = jax.lax.Precision.HIGHEST
+
 # flat 16-index (= 4·(2Ra+Rb) + (2Ca+Cb)) of the slot-0 subspace with the
 # slot-1 bits Rb=Cb=0, ordered by the 1q superop index 2Ra+Ca
 _SLOT0_IDX = np.array([0, 2, 8, 10])
@@ -67,7 +74,7 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
         s8 = s16.reshape(s16.shape[:-2] + (2, 2, 2, 2, 2, 2, 2, 2))
         # out indices: (A,B) row bits, (C,D) col bits; in: (a,b,c,d)
         new = jnp.einsum("...ABCDabcd,...HaMbLIcJdK->...HAMBLICJDK",
-                         s8, view)
+                         s8, view, precision=_PREC)
         return new.reshape(batch + (dim, dim))
     if variant != "transpose":
         raise ValueError(f"unknown superop variant {variant!r} "
@@ -79,7 +86,7 @@ def apply_superop_static(dm: jnp.ndarray, s16: jnp.ndarray, a: int, b: int,
                                 o + 0, o + 2, o + 4, o + 5, o + 7, o + 9]
     moved = jnp.transpose(view, axperm)
     v16 = moved.reshape(batch + (16, (dim * dim) // 16))
-    out16 = jnp.einsum("...ij,...jR->...iR", s16, v16)
+    out16 = jnp.einsum("...ij,...jR->...iR", s16, v16, precision=_PREC)
     back = out16.reshape(batch + (2, 2, 2, 2, H, M, L, H, M, L))
     inv = list(np.argsort(axperm))
     out = jnp.transpose(back, inv)
@@ -110,8 +117,95 @@ def _lift_pair(s4a, s4b, B: int, dtype) -> jnp.ndarray:
     eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     a_r = (eye if s4a is None else s4a).reshape(B, 2, 2, 2, 2)
     b_r = (eye if s4b is None else s4b).reshape(B, 2, 2, 2, 2)
-    out = jnp.einsum("zACac,zBDbd->zABCDabcd", a_r, b_r)
+    out = jnp.einsum("zACac,zBDbd->zABCDabcd", a_r, b_r, precision=_PREC)
     return out.reshape(B, 16, 16)
+
+
+def apply_superop_multi(dm: jnp.ndarray, sK: jnp.ndarray,
+                        qs: Tuple[int, ...], n: int) -> jnp.ndarray:
+    """Apply a 4^k × 4^k superop at k distinct STATIC qubits to
+    dm[..., 2^n, 2^n].
+
+    ``qs`` gives the superop's slot order (slot 0 = MSB of the local
+    row/col index), so no index permutation of ``sK`` is ever needed —
+    the dm's bit axes are gathered in exactly that order. Same dense-lane
+    transpose/matmul form as :func:`apply_superop_static`'s "transpose"
+    variant, generalized to k qubits (used by the 4q disjoint-pair plan).
+    """
+    k = len(qs)
+    batch = dm.shape[:-2]
+    nb = len(batch)
+    dim = 2 ** n
+    view = dm.reshape(batch + (2,) * (2 * n))
+    row_ax = [nb + (n - 1 - q) for q in qs]
+    col_ax = [nb + n + (n - 1 - q) for q in qs]
+    front = row_ax + col_ax
+    rest = [i for i in range(nb, nb + 2 * n) if i not in front]
+    axperm = list(range(nb)) + front + rest
+    moved = jnp.transpose(view, axperm)
+    v = moved.reshape(batch + (4 ** k, (dim * dim) // 4 ** k))
+    out = jnp.einsum("...ij,...jR->...iR", sK, v, precision=_PREC)
+    back = out.reshape(moved.shape)
+    inv = list(np.argsort(axperm))
+    return jnp.transpose(back, inv).reshape(batch + (dim, dim))
+
+
+def _lift_disjoint(sa: jnp.ndarray, sb: jnp.ndarray, B: int,
+                   da: int) -> jnp.ndarray:
+    """(4·da)²-dim superop from sa (da²×da², leading slots) and sb
+    (16×16, trailing two slots) on disjoint qubits.
+
+    Index convention throughout: flat = D·row + col with row/col the
+    slot-major local indices, so the combined flat order is
+    (row_a, row_b, col_a, col_b).
+    """
+    a_r = sa.reshape(B, da, da, da, da)     # [row_a, col_a, row_a', col_a']
+    b_r = sb.reshape(B, 4, 4, 4, 4)
+    out = jnp.einsum("zACac,zBDbd->zABCDabcd", a_r, b_r, precision=_PREC)
+    d = 4 * da
+    return out.reshape(B, d * d, d * d)
+
+
+# forward-scan window for the disjoint pairing pass
+_PAIR_SCAN = 32
+
+
+def pair_disjoint_superops(ops):
+    """Pair disjoint-support 16×16 ops into 4-qubit 256×256 superops.
+
+    Input [(a, b, s16)]; output entries are ("s16", a, b, s16) or
+    ("s256", qs, s256). Op j merges back to op i's position only when
+    every unmerged op between them has support disjoint from op j's
+    (commutation), so the composed channel sequence is unchanged. Halves
+    the number of full-dm passes on layered bond circuits at 16× the
+    (cheap, MXU-friendly M=K=256) matmul FLOPs per pass.
+    """
+    items = [{"qs": (a, b), "s": s16, "merged": False}
+             for a, b, s16 in ops]
+    plan = []
+    for i, it in enumerate(items):
+        if it["merged"]:
+            continue
+        sup = set(it["qs"])
+        paired = False
+        blocked: set = set()
+        for j in range(i + 1, min(i + 1 + _PAIR_SCAN, len(items))):
+            jt = items[j]
+            if jt["merged"]:
+                continue
+            js = set(jt["qs"])
+            if js & sup or js & blocked:
+                blocked |= js
+                continue
+            jt["merged"] = True
+            B = it["s"].shape[0]
+            plan.append(("s256", it["qs"] + jt["qs"],
+                         _lift_disjoint(it["s"], jt["s"], B, 4)))
+            paired = True
+            break
+        if not paired:
+            plan.append(("s16", it["qs"][0], it["qs"][1], it["s"]))
+    return plan
 
 
 # backward-scan window for the disjoint-commutation merge (compile-time
@@ -156,7 +250,7 @@ def fuse_superops(pairs, gate_ids, keys, table, mats, B: int, n: int,
             if e[2] == {a, b}:
                 if (e[0], e[1]) != (a, b):   # align slot order to e's
                     s16 = s16[:, swap_perm, :][:, :, swap_perm]
-                e[3] = jnp.einsum("bij,bjk->bik", s16, e[3])
+                e[3] = jnp.einsum("bij,bjk->bik", s16, e[3], precision=_PREC)
                 return
             if e[2] & {a, b}:
                 break
@@ -175,25 +269,25 @@ def fuse_superops(pairs, gate_ids, keys, table, mats, B: int, n: int,
         if is1q and (key == 0 or s4n is not None):
             u = mats[:, l, 0::2, 0::2]    # U from the U ⊗ I embedding
             s4 = jnp.einsum("bpa,bqc->bpqac", u,
-                            jnp.conj(u)).reshape(B, 4, 4)
+                            jnp.conj(u), precision=_PREC).reshape(B, 4, 4)
             if s4n is not None:
                 s4 = jnp.einsum("ij,bjk->bik",
                                 jnp.asarray(s4n.astype(np.complex64),
                                             dtype), s4)
             p = pending.get(a)
             pending[a] = s4 if p is None else jnp.einsum(
-                "bij,bjk->bik", s4, p)
+                "bij,bjk->bik", s4, p, precision=_PREC)
             continue
         u4 = mats[:, l]                   # 2q (or unfactorable-noise) op
         s16 = jnp.einsum("bpa,bqc->bpqac", u4,
-                         jnp.conj(u4)).reshape(B, 16, 16)
+                         jnp.conj(u4), precision=_PREC).reshape(B, 16, 16)
         if key != 0:
             s16 = jnp.einsum("ij,bjk->bik",
-                             jnp.asarray(table[key]), s16)
+                             jnp.asarray(table[key]), s16, precision=_PREC)
         pa, pb = pending.pop(a, None), pending.pop(b, None)
         if pa is not None or pb is not None:
             s16 = jnp.einsum("bij,bjk->bik", s16,
-                             _lift_pair(pa, pb, B, dtype))
+                             _lift_pair(pa, pb, B, dtype), precision=_PREC)
         emit(a, b, s16)
 
     left = sorted(pending)                # trailing 1q layers, pairwise
@@ -241,7 +335,7 @@ def _run_carry(pairs, s16_per_op, B: int, n: int, dtype) -> jnp.ndarray:
                           + [1 + pos[r] for r in rest])
         order = targets + rest
         x16 = x.reshape(B, 16, (dim * dim) // 16)
-        x = jnp.einsum("bij,bjR->biR", s16, x16)
+        x = jnp.einsum("bij,bjR->biR", s16, x16, precision=_PREC)
         x = x.reshape((B,) + (2,) * (2 * n))
     pos = {axid: p for p, axid in enumerate(order)}
     x = jnp.transpose(x, [0] + [1 + pos[i] for i in range(2 * n)])
@@ -252,7 +346,8 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                        key_ids: np.ndarray, noise_table: np.ndarray,
                        dtype=COMPLEX_DTYPE,
                        variant: Optional[str] = None,
-                       fuse: bool = True) -> jnp.ndarray:
+                       fuse: bool = True,
+                       pair4: Optional[bool] = None) -> jnp.ndarray:
     """Noisy density matrices for a template batch: params [B, L, 3].
 
     key_ids/noise_table as produced by ``compile_noise_table`` on the
@@ -269,6 +364,11 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
     (:func:`fuse_superops`: NOP skip, 1q absorption, disjoint-commutation
     merge) — same channel sequence, ~3.6× fewer full-dm passes on the
     Ising bench template. ``fuse=False`` applies one superop per op slot.
+
+    ``pair4`` additionally pairs disjoint fused superops into 4-qubit
+    256×256 ops (:func:`pair_disjoint_superops`) — half the full-dm
+    passes at 16× the (cheap) matmul FLOPs. Default: on for the TPU
+    "transpose" variant when fusing, off elsewhere.
     """
     if variant is None:
         from ..utils.platform import on_tpu
@@ -290,9 +390,9 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
         def slot_s16(l):
             u = mats[:, l]                               # [B, 4, 4]
             s_gate = jnp.einsum("bpa,bqc->bpqac", u,
-                                jnp.conj(u)).reshape(B, 16, 16)
+                                jnp.conj(u), precision=_PREC).reshape(B, 16, 16)
             s_noise = jnp.asarray(table[keys[l]])        # [16, 16] const
-            return jnp.einsum("ij,bjk->bik", s_noise, s_gate)
+            return jnp.einsum("ij,bjk->bik", s_noise, s_gate, precision=_PREC)
 
         ops = [(a, b, slot_s16(l)) for l, (a, b) in enumerate(pairs)]
 
@@ -302,7 +402,19 @@ def run_density_static(ct_struct: CircuitTensor, params: jnp.ndarray,
                 for a, b, s16 in ops]
         return _run_carry([(a, b) for a, b, _ in ops], s16s, B, n, dtype)
 
+    if pair4 is None:
+        pair4 = fuse and variant == "transpose" and n >= 4
     dm = jnp.zeros((B, dim, dim), dtype).at[:, 0, 0].set(1.0)
+    if pair4:
+        for entry in pair_disjoint_superops(ops):
+            if entry[0] == "s16":
+                _, a, b, s16 = entry
+                dm = apply_superop_static(dm, s16, a, b, n,
+                                          variant=variant)
+            else:
+                _, qs, s256 = entry
+                dm = apply_superop_multi(dm, s256, qs, n)
+        return dm
     for a, b, s16 in ops:
         dm = apply_superop_static(dm, s16, a, b, n, variant=variant)
     return dm

@@ -286,6 +286,50 @@ def test_superop_fusion_matches_unfused():
     assert len(plan) <= n_slots // 2, (len(plan), n_slots)
 
 
+def test_superop_pair4_matches_unfused():
+    """The 4q disjoint-pair plan (256×256 superops) reproduces the
+    one-superop-per-slot path and halves the pass count on the layered
+    Ising template."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlqem_tpu.device.noise import NoiseModel, compile_noise_table
+    from mlqem_tpu.device.registry import configurable_device
+    from mlqem_tpu.ops.density_static import (fuse_superops,
+                                              pair_disjoint_superops,
+                                              run_density_static,
+                                              static_pairs)
+    from mlqem_tpu.ops.unitaries import op_unitaries
+    from mlqem_tpu.parallel.datagen import make_ising_template
+
+    nq, steps = 6, 2
+    dev = configurable_device(nq, seed=0)
+    nm = NoiseModel.from_device(dev)
+    template = make_ising_template(nq, steps, "Z", 0.25, h=1.0)
+    ct0 = template.bind_host(np.zeros(template.num_parameters, np.float32))
+    keys, table = compile_noise_table(ct0, nm)
+    rng = np.random.default_rng(9)
+    params = jnp.asarray(rng.uniform(
+        -1.0, 1.0, size=(2,) + ct0.params.shape).astype(np.float32))
+    base = np.asarray(run_density_static(ct0, params, keys, table,
+                                         variant="einsum", fuse=False))
+    paired = np.asarray(run_density_static(ct0, params, keys, table,
+                                           variant="transpose", fuse=True,
+                                           pair4=True))
+    np.testing.assert_allclose(paired, base, atol=2e-6)
+
+    mats = jax.vmap(lambda p: op_unitaries(
+        jnp.asarray(ct0.gate_ids), p))(params)
+    ops = fuse_superops(static_pairs(ct0), np.asarray(ct0.gate_ids),
+                        np.asarray(keys).reshape(-1),
+                        np.asarray(table, np.complex64), mats,
+                        2, nq, jnp.complex64)
+    plan = pair_disjoint_superops(ops)
+    n256 = sum(1 for e in plan if e[0] == "s256")
+    assert n256 >= len(ops) // 3          # most ops actually pair
+    assert len(plan) <= (len(ops) + 1) // 2 + 2
+
+
 def test_superop_fusion_reversed_orientation_and_padding():
     """Fusion merges same-set ops of OPPOSITE slot orientation (cx(0,1)
     then cx(1,0)) and skips NOP padding slots, matching the unfused path."""
