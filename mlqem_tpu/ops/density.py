@@ -21,6 +21,12 @@ from ..circuits.observables import PauliSum
 from .unitaries import COMPLEX_DTYPE, op_unitaries, pair_indices, popcount
 
 
+# Exactness engine: pin true-f32 contractions (TPU DEFAULT matmul
+# precision computes f32 dots in bf16 passes, ~4e-3 relative per
+# MXU-lowered contraction — measured; see ops/statevector.py).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _sim_width(num_qubits: int) -> int:
     return max(num_qubits, 2)
 
@@ -43,7 +49,7 @@ def apply_superop(dm: jnp.ndarray, s16: jnp.ndarray, a: jnp.ndarray,
     cols = idx[None, None, :, :]
     block = dm[..., rows, cols]                       # [..., 4, R, 4, R]
     s4 = s16.reshape(4, 4, 4, 4)                      # [p', q', p, q]
-    new = jnp.einsum("PQpq,...prqs->...PrQs", s4, block)
+    new = jnp.einsum("PQpq,...prqs->...PrQs", s4, block, precision=_PREC)
     return dm.at[..., rows, cols].set(new)
 
 
@@ -81,7 +87,8 @@ def run_density(ct: CircuitTensor, key_ids: jnp.ndarray,
 
     def step(state, op):
         mat4, qp, key = op
-        s16 = noise_table[key] @ gate_superop(mat4)
+        s16 = jnp.einsum("ij,jk->ik", noise_table[key],
+                         gate_superop(mat4), precision=_PREC)
         return apply_superop(state, s16, qp[0], qp[1], n), None
 
     dm, _ = jax.lax.scan(step, dm, (mats, ct.qubits, key_ids))

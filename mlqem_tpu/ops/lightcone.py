@@ -254,7 +254,13 @@ class LightconeIsing:
                 state = state * jnp.exp(
                     1j * expo2.astype(jnp.float32)).astype(state.dtype)
                 probs = jnp.real(state * jnp.conj(state))
-                return state, probs @ mz
+                # HIGHEST: TPU default matmul precision rounds the f32
+                # probs inputs to bf16 (~4e-3 relative). The sign matmuls
+                # above are exact at any precision (±1 entries are
+                # bf16-exact, accumulation is f32); this one is not.
+                return state, jnp.einsum(
+                    "bd,d->b", probs, mz,
+                    precision=jax.lax.Precision.HIGHEST)
 
             _, z_sw = jax.lax.scan(one_step, state, xs)
             return z_sw                                 # [S, BT]

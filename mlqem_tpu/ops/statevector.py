@@ -22,6 +22,14 @@ from ..circuits.observables import PauliSum
 from .unitaries import (COMPLEX_DTYPE, op_unitaries, pair_indices, popcount)
 
 
+# Ideal-label engine: pin true-f32 contractions. JAX's DEFAULT matmul
+# precision on TPU computes f32 dots in bf16 passes — measured 1.7e-2
+# max amplitude drift vs CPU-f32 over a 148-op 10q template (the K=4
+# gate einsum accumulates ~4e-3 relative per MXU-lowered contraction).
+# HIGHEST restores exactness (~1e-6) and is a no-op on CPU.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _sim_width(num_qubits: int) -> int:
     return max(num_qubits, 2)
 
@@ -37,7 +45,7 @@ def apply_op(state: jnp.ndarray, mat4: jnp.ndarray, a: jnp.ndarray,
     """Apply one 4x4 unitary at qubits (a, b) to state[..., 2**n]."""
     idx = pair_indices(a, b, n)                       # [4, R]
     amps = state[..., idx]                            # [..., 4, R]
-    new = jnp.einsum("ij,...jr->...ir", mat4, amps)
+    new = jnp.einsum("ij,...jr->...ir", mat4, amps, precision=_PREC)
     return state.at[..., idx].set(new)
 
 

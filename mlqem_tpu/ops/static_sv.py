@@ -24,6 +24,14 @@ from .unitaries import COMPLEX_DTYPE, op_unitaries
 
 _PERM_SWAP = np.array([0, 2, 1, 3])
 
+# Ideal/template engine: pin true-f32 contractions (TPU DEFAULT matmul
+# precision is bf16 passes — measured 1.7e-2 amplitude drift over a
+# 148-op 10q template via exactly this einsum; see ops/statevector.py).
+# The *trajectory* einsums below stay at DEFAULT on purpose: twirled
+# Monte-Carlo noise paths carry sampling noise orders of magnitude above
+# bf16 rounding, and they are throughput-bound.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def apply_static(state: jnp.ndarray, mat4: jnp.ndarray, a: int, b: int,
                  n: int) -> jnp.ndarray:
@@ -40,7 +48,8 @@ def apply_static(state: jnp.ndarray, mat4: jnp.ndarray, a: int, b: int,
     batch = state.shape[:-1]
     view = state.reshape(batch + (H, 2, M, 2, L))
     m4 = mat4.reshape(mat4.shape[:-2] + (2, 2, 2, 2))
-    new = jnp.einsum("...abcd,...HcMdL->...HaMbL", m4, view)
+    new = jnp.einsum("...abcd,...HcMdL->...HaMbL", m4, view,
+                     precision=_PREC)
     return new.reshape(batch + (2 ** n,))
 
 
