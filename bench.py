@@ -57,23 +57,19 @@ def main():
 
     # The axon backend reaches the real chip through a tunnel that can be
     # down for hours at a stretch; first contact then HANGS (not errors).
-    # Probe device init in a bounded subprocess and fall back to CPU so
-    # the bench always emits its one JSON line (the unit records the
-    # fallback — a CPU number is a floor, not the TPU result).
+    # There is also a half-up mode where device LISTING succeeds but the
+    # first compile/execute RPC hangs (observed live in round 5), so the
+    # probe runs a real bounded matmul (utils.platform.tpu_compute_up),
+    # not just jax.devices(). Fall back to CPU so the bench always emits
+    # its one JSON line (the unit records the fallback — a CPU number is
+    # a floor, not the TPU result).
     import os
-    import subprocess
+
+    from mlqem_tpu.utils.platform import tpu_compute_up
 
     platform_note = ""
     if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('up')"],
-                capture_output=True, timeout=240, text=True)
-            tpu_up = probe.returncode == 0 and "up" in probe.stdout
-        except subprocess.TimeoutExpired:
-            tpu_up = False
-        if not tpu_up:
+        if not tpu_compute_up(timeout_s=240):
             print("TPU backend unreachable — falling back to CPU",
                   file=sys.stderr)
             jax.config.update("jax_platforms", "cpu")

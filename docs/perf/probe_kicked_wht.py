@@ -30,13 +30,11 @@ sys.path.insert(0, _os.path.abspath(_os.path.join(
 
 
 def _tpu_up() -> bool:
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('up')"],
-            capture_output=True, timeout=240, text=True)
-        return p.returncode == 0 and "up" in p.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    # compute probe, not just device listing — the tunnel has a half-up
+    # mode where jax.devices() works but the first execute RPC hangs
+    from mlqem_tpu.utils.platform import tpu_compute_up
+
+    return tpu_compute_up(timeout_s=240)
 
 
 def main():
@@ -106,7 +104,7 @@ def main():
 
     base = None
     for mode in ("f32", "bf16_hilo", "bf16"):
-        for block_rows in ((256, 512) if mode != "bf16" else (256,)):
+        for block_rows in (256, 512):
             def ev(mode=mode, block_rows=block_rows):
                 re, im = evolve_fused(
                     re0, im0, kick_flat, bond_flat, tj_col, bitpm_t,
@@ -137,14 +135,26 @@ def main():
     gc.collect()
 
     # --- phase C: full generate() end-to-end per mode ------------------
-    for mode in ("f32", "bf16_hilo"):
+    # Same seed across modes, so Δnoisy isolates WHT rounding: the noisy
+    # arm is Monte-Carlo (32 trajectories, 10k shots — per-label sampling
+    # σ ≈ 1/√shots + trajectory spread ≫ 1e-3), matching the standing
+    # policy that MC-arm einsums run at DEFAULT precision.
+    noisy_by_mode = {}
+    for mode in ("f32", "bf16_hilo", "bf16"):
         e3 = KickedIsingEngine(dev, nq=nq, steps=steps, dt=0.25,
                                n_traj=n_traj, shots=shots, wht_mode=mode)
         def full():
             return e3.generate(J, seed=2)
         t = timed(full)
         ppm = batch / t * 60.0
-        print(f"generate[{mode}]: {t:.3f}s → {ppm:,.0f} pairs/min",
+        noisy_by_mode[mode] = np.asarray(full()[1])
+        dn = ""
+        if mode != "f32" and "f32" in noisy_by_mode:
+            d = float(np.abs(noisy_by_mode[mode]
+                             - noisy_by_mode["f32"]).max())
+            summary[f"max_dnoisy_{mode}"] = d
+            dn = f"  max|Δnoisy|={d:.2e}"
+        print(f"generate[{mode}]: {t:.3f}s → {ppm:,.0f} pairs/min{dn}",
               file=sys.stderr)
         summary[f"generate_{mode}_s"] = round(t, 4)
         summary[f"pairs_per_min_{mode}"] = round(ppm)

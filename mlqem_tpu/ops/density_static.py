@@ -27,7 +27,15 @@ _PERM_SWAP = np.array([0, 2, 1, 3])
 # which is fine for the throughput engines but not for the path whose
 # whole job is exact labels. HIGHEST is a no-op on CPU, and on TPU the
 # dm path is transpose-bound, not matmul-bound, so the cost is small.
-_PREC = jax.lax.Precision.HIGHEST
+# MLQEM_DM_PRECISION (default | high | highest) is a measurement knob for
+# the precision-ladder probe (docs/perf/probe_dm_precision.py) — read once
+# at import, so set it before the first mlqem_tpu import.
+import os as _os
+
+_PREC = {"default": jax.lax.Precision.DEFAULT,
+         "high": jax.lax.Precision.HIGH,
+         "highest": jax.lax.Precision.HIGHEST}[
+             _os.environ.get("MLQEM_DM_PRECISION", "highest").lower()]
 
 # flat 16-index (= 4·(2Ra+Rb) + (2Ca+Cb)) of the slot-0 subspace with the
 # slot-1 bits Rb=Cb=0, ordered by the 1q superop index 2Ra+Ca
