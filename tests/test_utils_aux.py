@@ -86,3 +86,26 @@ def test_rl_ngs_scaffolding():
     assert NGSModel is not None
     with pytest.raises(NotImplementedError):
         Environment().get_state()
+
+
+def test_tpu_compute_up_cpu_fast_path():
+    """On a CPU-forced env (conftest sets JAX_PLATFORMS=cpu) the probe
+    must short-circuit True without spawning a subprocess — a long probe
+    here would mean every CPU bench/probe run pays a 240s timeout."""
+    import time
+
+    from mlqem_tpu.utils.platform import tpu_compute_up
+
+    t0 = time.time()
+    assert tpu_compute_up(timeout_s=5) is True
+    assert time.time() - t0 < 1.0
+
+
+def test_dm_precision_knob_default_highest():
+    """The exact dm engine contracts at true-f32 (HIGHEST) unless the
+    probe knob MLQEM_DM_PRECISION overrides it (read at import)."""
+    import jax
+
+    from mlqem_tpu.ops import density_static
+
+    assert density_static._PREC == jax.lax.Precision.HIGHEST
