@@ -23,6 +23,9 @@ import subprocess
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..")))  # run from a source checkout
+
 CHILD = r"""
 import json, os, sys, time
 import numpy as np
@@ -43,8 +46,14 @@ tmpl = make_ising_template(6, 3, "Z", 0.25, h=1.0)
 vals = np.linspace(0.1, 0.5, 8, dtype=np.float32)[:, None]
 ct = tmpl.bind(vals)
 keys, table = compile_noise_table(tmpl.ct, NoiseModel.from_device(dev6))
-dm = run_density_static(tmpl.ct, ct.params, keys, table)
-np.save(out_npy, np.asarray(dm))
+# axon cannot transfer complex64 device->host: materialize fresh f32
+# re/im planes inside the jitted program and pull those
+import jax.numpy as jnp
+pull = jax.jit(lambda p: (lambda d: (jnp.real(d).astype(jnp.float32),
+                                     jnp.imag(d).astype(jnp.float32)))(
+    run_density_static(tmpl.ct, p, keys, table)))
+re, im = pull(ct.params)
+np.save(out_npy, np.stack([np.asarray(re), np.asarray(im)]))
 
 # --- throughput: the bench dm config ----------------------------------
 dev = configurable_device(10, seed=0)
